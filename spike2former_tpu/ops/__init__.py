@@ -1,0 +1,29 @@
+from .spike import (
+    quant_ste,
+    qspike,
+    multispike_norm,
+    multispike4,
+    spike_rate,
+)
+from .neuron import (
+    multistep_if,
+    multistep_lif,
+    multistep_plif,
+    multistep_qif,
+    sigmoid_surrogate,
+    atan_surrogate,
+)
+from .dcnv3 import dcnv3_core
+from .resize import (
+    resize_bilinear,
+    resize_bilinear_align_corners,
+    resize_nearest_torch,
+)
+
+__all__ = [
+    "quant_ste", "qspike", "multispike_norm", "multispike4", "spike_rate",
+    "multistep_if", "multistep_lif", "multistep_plif", "multistep_qif",
+    "sigmoid_surrogate", "atan_surrogate",
+    "dcnv3_core",
+    "resize_bilinear", "resize_bilinear_align_corners", "resize_nearest_torch",
+]

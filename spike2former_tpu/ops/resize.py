@@ -1,0 +1,92 @@
+"""Image resize ops with PyTorch-compatible sampling semantics.
+
+The reference pipeline leans on ``F.interpolate`` in three places: FPN
+top-down pathways (nearest + bilinear align_corners=False), mask upsampling
+(bilinear align_corners=False), and GT downsampling (nearest).  These helpers
+reproduce those exact samplings in XLA so a converted checkpoint scores the
+same mIoU.
+
+Layout is channels-last ``[..., H, W, C]``.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def resize_bilinear(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Bilinear resize, half-pixel centers == torch ``align_corners=False``
+    with ``antialias=False`` (torch's default, used throughout the reference).
+
+    ``jax.image.resize`` antialiases on downscale, so we gather manually.
+    Accepts ``[..., H, W, C]``.
+    """
+    *lead, h, w, c = x.shape
+    oh, ow = out_hw
+    if (oh, ow) == (h, w):
+        return x
+
+    def grid(in_size, out_size):
+        # src = (dst + 0.5) * in/out - 0.5, clamped into the valid range
+        s = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * (
+            in_size / out_size) - 0.5
+        return jnp.clip(s, 0.0, in_size - 1)
+
+    ys, xs = grid(h, oh), grid(w, ow)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = (ys - y0).astype(x.dtype)[:, None, None]
+    wx = (xs - x0).astype(x.dtype)[None, :, None]
+
+    def gather(yi, xi):
+        return x[..., yi[:, None], xi[None, :], :]
+
+    top = gather(y0, x0) * (1 - wx) + gather(y0, x1) * wx
+    bot = gather(y1, x0) * (1 - wx) + gather(y1, x1) * wx
+    return top * (1 - wy) + bot * wy
+
+
+def resize_bilinear_align_corners(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Bilinear resize with ``align_corners=True`` (mmseg resize default in
+    some heads)."""
+    *lead, h, w, c = x.shape
+    oh, ow = out_hw
+
+    def grid(in_size, out_size):
+        if out_size == 1:
+            return jnp.zeros((1,), jnp.float32)
+        return jnp.arange(out_size, dtype=jnp.float32) * (
+            (in_size - 1) / (out_size - 1)
+        )
+
+    ys, xs = grid(h, oh), grid(w, ow)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+
+    def gather(yi, xi):
+        return x[..., yi[:, None], xi[None, :], :]
+
+    top = gather(y0, x0) * (1 - wx) + gather(y0, x1) * wx
+    bot = gather(y1, x0) * (1 - wx) + gather(y1, x1) * wx
+    return top * (1 - wy) + bot * wy
+
+
+def resize_nearest_torch(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Nearest resize matching torch ``F.interpolate(mode='nearest')``:
+    ``src = floor(dst * in/out)`` (asymmetric, not half-pixel).
+
+    Accepts ``[..., H, W, C]``.
+    """
+    *lead, h, w, c = x.shape
+    oh, ow = out_hw
+    ys = jnp.floor(jnp.arange(oh, dtype=jnp.float32) * (h / oh)).astype(jnp.int32)
+    xs = jnp.floor(jnp.arange(ow, dtype=jnp.float32) * (w / ow)).astype(jnp.int32)
+    ys = jnp.minimum(ys, h - 1)
+    xs = jnp.minimum(xs, w - 1)
+    return x[..., ys[:, None], xs[None, :], :]
