@@ -1,0 +1,192 @@
+"""Meta-SpikeFormer backbones: SDTv2 (``Spiking_vit_MetaFormer``) and
+SDTv3 / E-SpikeFormer (``Spiking_vit_MetaFormerv2``).
+
+Reference: Segmentation/mmseg/models/backbones/sdtv2.py:424-655 and
+sdtv3.py:401-616.  Four stages of conv-BN-spike blocks + spike-driven linear
+attention, run over ``T`` explicit time steps with normalized-integer spiking
+activations.  Returns a 4-level pyramid ``[T, B, H/s, W/s, C_s]`` for
+strides s in (2, 4, 8, 16) (``decode_mode='Qsnn'``/``'QTrick'``).
+
+TPU notes:
+* The spike-driven attention is softmax-free, so we associate the matmul
+  chain as ``q @ (k^T v)`` — O(N * C^2/h) instead of O(N^2) — which is
+  bit-identical up to float association to the reference's
+  ``(q k^T) v`` (sdtv3.py:312-313) and exactly the order SDTv2 already uses
+  (sdtv2.py:335-336).  Both matmuls land on the MXU.
+* T is folded into the batch for every conv/BN (the reference's
+  ``flatten(0,1)``), so a T=4 forward is one big batched conv stack, not four.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import (
+    BatchNorm, ConvBN, DownSampling, MSConvBlock, MSMLP, RepConv, SepConv,
+    Spike, fold_t, unfold_t,
+)
+
+
+class SpikeAttention(nn.Module):
+    """Spike-driven linear attention.
+
+    ``qkv_proj='repconv'`` reproduces SDTv2's MS_Attention_RepConv_qkv_id
+    (sdtv2.py:258-344); ``qkv_proj='conv1x1'`` with ``lamda_ratio=4`` and
+    ``scale_mult=2`` reproduces SDTv3's MS_Attention_linear
+    (sdtv3.py:229-276).
+    Input/output: [T, B, H, W, C].
+    """
+
+    dim: int
+    num_heads: int = 8
+    qkv_proj: str = "repconv"
+    lamda_ratio: int = 1
+    scale_mult: float = 1.0
+    spike: str = "qspike"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        t, b, h, w, c = x.shape
+        n = h * w
+        cv = self.dim * self.lamda_ratio
+        head_dim = self.dim // self.num_heads
+        scale = head_dim ** -0.5 * self.scale_mult
+
+        xf, _ = fold_t(x)
+        xf = Spike(self.spike)(xf)
+
+        def proj(feats, name):
+            if self.qkv_proj == "repconv":
+                y = RepConv(feats, dtype=self.dtype, name=f"{name}_rep")(xf, train)
+                y = BatchNorm(use_running_average=not train,
+                              name=f"{name}_bn")(y)
+            else:
+                y = ConvBN(feats, (1, 1), dtype=self.dtype, name=f"{name}_conv")(
+                    xf, train)
+            return y
+
+        q = Spike(self.spike)(proj(self.dim, "q"))
+        k = Spike(self.spike)(proj(self.dim, "k"))
+        v = Spike(self.spike)(proj(cv, "v"))
+
+        def heads(y, feats):
+            # [(T*B), H, W, F] -> [T*B, heads, N, F/heads]
+            return y.reshape(t * b, n, self.num_heads,
+                             feats // self.num_heads).transpose(0, 2, 1, 3)
+
+        qh, kh, vh = heads(q, self.dim), heads(k, self.dim), heads(v, cv)
+        kv = jnp.einsum("bhnc,bhnd->bhcd", kh, vh,
+                        preferred_element_type=jnp.float32)
+        out = jnp.einsum("bhnc,bhcd->bhnd", qh, kv.astype(qh.dtype),
+                         preferred_element_type=jnp.float32)
+        out = (out * scale).astype(x.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(t * b, h, w, cv)
+
+        out = Spike(self.spike)(out)
+        if self.qkv_proj == "repconv":
+            out = RepConv(self.dim, dtype=self.dtype, name="proj_rep")(out, train)
+            out = BatchNorm(use_running_average=not train, name="proj_bn")(out)
+        else:
+            out = ConvBN(self.dim, (1, 1), dtype=self.dtype,
+                         name="proj_conv")(out, train)
+        return unfold_t(out, t)
+
+
+class MSBlock(nn.Module):
+    """Transformer-ish block: (optional SepConv residual) + attn + MLP
+    residuals (sdtv2.py:347-383 MS_Block; sdtv3.py:318-360
+    MS_Block_Spike_SepConv when ``with_sepconv=True``)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: int = 4
+    with_sepconv: bool = False
+    qkv_proj: str = "repconv"
+    lamda_ratio: int = 1
+    scale_mult: float = 1.0
+    spike: str = "qspike"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.with_sepconv:
+            x = x + SepConv(self.dim, kernel_size=3, padding=1, dw_bn=True,
+                            num_spikes=3, spike=self.spike,
+                            dtype=self.dtype)(x, train)
+        x = x + SpikeAttention(
+            self.dim, self.num_heads, qkv_proj=self.qkv_proj,
+            lamda_ratio=self.lamda_ratio, scale_mult=self.scale_mult,
+            spike=self.spike, dtype=self.dtype)(x, train)
+        x = x + MSMLP(self.dim * self.mlp_ratio, spike=self.spike,
+                      dtype=self.dtype)(x, train)
+        return x
+
+
+class SpikingMetaFormer(nn.Module):
+    """4-stage spiking MetaFormer pyramid backbone.
+
+    ``variant='sdtv2'``: Q_IFNode (D=8) spikes, RepConv qkv, plain SepConv
+    conv-blocks — Spiking_vit_MetaFormer (sdtv2.py:424-655).
+    ``variant='sdtv3'``: Multispike_norm (D=4) spikes, conv1x1 qkv with
+    lamda_ratio=4 and doubled scale, SepConv_Spike conv-blocks, and an extra
+    SepConv residual in attention blocks — Spiking_vit_MetaFormerv2
+    (sdtv3.py:401-616).
+    """
+
+    embed_dim: Sequence[int] = (64, 128, 256, 360)
+    num_heads: int = 8
+    mlp_ratio: int = 4
+    in_channels: int = 3
+    T: int = 1
+    variant: str = "sdtv2"
+    depths_stage3: int = 6
+    depths_stage4: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jax.Array, train: bool = False):
+        """images: [B, H, W, 3] -> list of 4 pyramid levels [T,B,h,w,c]."""
+        v3 = self.variant == "sdtv3"
+        spike = "multispike_norm" if v3 else "qspike"
+        conv_kw = dict(
+            mlp_ratio=self.mlp_ratio,
+            sepconv_dw_bn=v3, sepconv_num_spikes=3 if v3 else 2,
+            spike=spike, dtype=self.dtype)
+        block_kw = dict(
+            num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+            with_sepconv=v3,
+            qkv_proj="conv1x1" if v3 else "repconv",
+            lamda_ratio=4 if v3 else 1,
+            scale_mult=2.0 if v3 else 1.0,
+            spike=spike, dtype=self.dtype)
+
+        e = self.embed_dim
+        x = jnp.broadcast_to(images[None], (self.T,) + images.shape)
+        x = DownSampling(e[0] // 2, kernel=7, stride=2, padding=3,
+                         first_layer=True, spike=spike, dtype=self.dtype,
+                         name="down1_1")(x, train)
+        x = MSConvBlock(e[0] // 2, name="conv1_1", **conv_kw)(x, train)
+        x1 = x
+        x = DownSampling(e[0], spike=spike, dtype=self.dtype,
+                         name="down1_2")(x, train)
+        x = MSConvBlock(e[0], name="conv1_2", **conv_kw)(x, train)
+        x2 = x
+        x = DownSampling(e[1], spike=spike, dtype=self.dtype,
+                         name="down2")(x, train)
+        x = MSConvBlock(e[1], name="conv2_1", **conv_kw)(x, train)
+        x = MSConvBlock(e[1], name="conv2_2", **conv_kw)(x, train)
+        x3 = x
+        x = DownSampling(e[2], spike=spike, dtype=self.dtype,
+                         name="down3")(x, train)
+        for i in range(self.depths_stage3):
+            x = MSBlock(e[2], name=f"block3_{i}", **block_kw)(x, train)
+        x = DownSampling(e[3], stride=1, spike=spike, dtype=self.dtype,
+                         name="down4")(x, train)
+        for i in range(self.depths_stage4):
+            x = MSBlock(e[3], name=f"block4_{i}", **block_kw)(x, train)
+        x4 = x
+        return [x1, x2, x3, x4]
