@@ -1,0 +1,10 @@
+from .sdtv2 import SpikingMetaFormer
+from .maskformer_head import MaskFormerHead, semantic_inference
+from .pixel_decoder import DCNPixelDecoder, FPNPixelDecoder
+from .segmentor import Spike2Former, preprocess, IMAGENET_MEAN, IMAGENET_STD
+
+__all__ = [
+    "SpikingMetaFormer", "MaskFormerHead", "semantic_inference",
+    "DCNPixelDecoder", "FPNPixelDecoder",
+    "Spike2Former", "preprocess", "IMAGENET_MEAN", "IMAGENET_STD",
+]

@@ -1,0 +1,212 @@
+"""Spiking token-attention blocks and FFNs for the DETR-style decoder.
+
+Reference: mmdet/models/layers/transformer/mmcv_spike/transformer.py —
+``MultiHeadAttentionBlock`` (SA, :196-278), ``CrossMultiHeadAttentionBlock``
+(CA, :280-361), ``MultiHeadCrossAttentionBlock`` (LinearCA, :364-438),
+``MSMultiHeadAttentionBlock`` (LinearSA, :442-502), ``MSDA_FFN`` (:710-784)
+and the dispatching ``MultiheadAttention`` wrapper (:505-638).
+
+All spiking attention here is **softmax-free**: raw ``q k^T / sqrt(C)``
+scores multiply the values directly (masked entries are zeroed, not -inf'd).
+Tokens are ``[T, B, N, C]`` channels-last.
+
+Deviation note: the reference's MSDA_FFN moves between token-major and
+channel-major layouts with ``reshape`` instead of ``transpose``
+(transformer.py:777-781), which silently shuffles (token, channel) pairs
+through the pointwise convs.  We implement the mathematically intended
+transpose — models are trained from scratch in this framework, so we keep
+the clean semantics and document the difference.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import BatchNorm, RepConv, Spike, fold_t, unfold_t
+
+
+class TokenConvBN(nn.Module):
+    """spike -> pointwise projection -> BN over tokens [T, B, N, C].
+
+    Equivalent to the reference's ``Q_IFNode -> Conv1d(k=1) -> BatchNorm1d``
+    stacks (BN statistics over (T*B, N) per channel).
+    """
+
+    features: int
+    spike: str = "qspike"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        xf, t = fold_t(x)  # [(T*B), N, C]
+        xf = Spike(self.spike)(xf)
+        xf = nn.Conv(self.features, (1,), use_bias=True, dtype=self.dtype)(xf)
+        xf = BatchNorm(use_running_average=not train)(xf)
+        return unfold_t(xf, t)
+
+
+def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    """[..., N, C] -> [..., H, N, C/H] with channel-contiguous head split."""
+    *lead, n, c = x.shape
+    x = x.reshape(*lead, n, num_heads, c // num_heads)
+    return jnp.swapaxes(x, -2, -3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    *lead, h, n, ch = x.shape
+    return jnp.swapaxes(x, -2, -3).reshape(*lead, n, h * ch)
+
+
+class SpikeMHA(nn.Module):
+    """Softmax-free spiking multi-head attention (SA/CA share the math).
+
+    scores = (q k^T) / sqrt(embed_dims)  — note: full embed dim, not head
+    dim (transformer.py:262-263); boolean ``attn_mask`` entries are zeroed.
+    """
+
+    embed_dims: int
+    num_heads: int = 8
+    spike: str = "qspike"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, key, value, attn_mask=None, train: bool = False):
+        q = Spike(self.spike)(TokenConvBN(
+            self.embed_dims, self.spike, self.dtype, name="q")(query, train))
+        k = Spike(self.spike)(TokenConvBN(
+            self.embed_dims, self.spike, self.dtype, name="k")(key, train))
+        v = Spike(self.spike)(TokenConvBN(
+            self.embed_dims, self.spike, self.dtype, name="v")(value, train))
+
+        qh, kh, vh = (_split_heads(y, self.num_heads) for y in (q, k, v))
+        scores = jnp.einsum("...nc,...mc->...nm", qh, kh,
+                            preferred_element_type=jnp.float32)
+        scores = scores / (self.embed_dims ** 0.5)
+        if attn_mask is not None:
+            scores = jnp.where(attn_mask, 0.0, scores)
+        out = jnp.einsum("...nm,...mc->...nc", scores.astype(vh.dtype), vh,
+                         preferred_element_type=jnp.float32).astype(q.dtype)
+        out = _merge_heads(out)
+
+        outf, t = fold_t(out)
+        outf = Spike(self.spike)(outf)
+        outf = nn.Conv(self.embed_dims, (1,), use_bias=True,
+                       dtype=self.dtype)(outf)
+        outf = BatchNorm(use_running_average=not train)(outf)
+        return unfold_t(outf, t)
+
+
+class LinearSpikeMHA(nn.Module):
+    """Linear (kernelized) spiking attention: ``q (k^T v) * scale``.
+
+    ``mode='SA'`` → MSMultiHeadAttentionBlock (conv q/k/v, transformer.py
+    :442-502); ``mode='CA'`` → MultiHeadCrossAttentionBlock (RepConv k/v over
+    a spatial key map + channel-attention shortcut, :364-438).
+    """
+
+    embed_dims: int
+    num_heads: int = 8
+    mode: str = "SA"
+    spike: str = "qspike"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, key, value, attn_mask=None, train: bool = False):
+        scale = (self.embed_dims // self.num_heads) ** -0.5
+        q_in = TokenConvBN(self.embed_dims, self.spike, self.dtype,
+                           name="q")(query, train)
+        q = Spike(self.spike)(q_in)
+
+        if self.mode == "CA":
+            # key/value are spatial maps [T, B, H, W, C]
+            def rep(y, name):
+                yf, t = fold_t(y)
+                yf = Spike(self.spike)(yf)
+                yf = RepConv(self.embed_dims, dtype=self.dtype, name=name)(
+                    yf, train)
+                tb, h, w, c = yf.shape
+                return unfold_t(yf.reshape(tb, h * w, c), t)
+
+            k = rep(key, "k_rep")
+            v = rep(value, "v_rep")
+        else:
+            k = Spike(self.spike)(TokenConvBN(
+                self.embed_dims, self.spike, self.dtype, name="k")(key, train))
+            v = Spike(self.spike)(TokenConvBN(
+                self.embed_dims, self.spike, self.dtype, name="v")(value, train))
+
+        qh, kh, vh = (_split_heads(y, self.num_heads) for y in (q, k, v))
+        kv = jnp.einsum("...mc,...md->...cd", kh, vh,
+                        preferred_element_type=jnp.float32)
+        if self.mode == "CA":
+            kv = kv / (self.embed_dims ** 0.5)  # :426-427
+            out = jnp.einsum("...nc,...cd->...nd", qh, kv.astype(qh.dtype),
+                             preferred_element_type=jnp.float32)
+        else:
+            out = jnp.einsum("...nc,...cd->...nd", qh, kv.astype(qh.dtype),
+                             preferred_element_type=jnp.float32) * scale
+        out = _merge_heads(out.astype(q.dtype))
+
+        if self.mode == "CA":
+            # channel-attention shortcut: global-avg-pooled conv of the spiked
+            # query, scaled residual (transformer.py:393-395,432-434)
+            tgt = jnp.mean(
+                nn.Conv(self.embed_dims, (1,), use_bias=False,
+                        dtype=self.dtype, name="channel_conv")(
+                    Spike(self.spike)(query)),  # q_conv_spike reuse
+                axis=-2, keepdims=True)
+            alpha = self.param("alpha", nn.initializers.ones,
+                               (1, 1, self.embed_dims))
+            out = out * alpha + tgt
+
+        outf, t = fold_t(out)
+        outf = Spike(self.spike)(outf)
+        outf = nn.Conv(self.embed_dims, (1,), use_bias=True,
+                       dtype=self.dtype)(outf)
+        outf = BatchNorm(use_running_average=not train)(outf)
+        return unfold_t(outf, t)
+
+
+class MSDAFFN(nn.Module):
+    """Spiking FFN: spike→1x1(→ffn)→BN→spike→1x1(→C)→BN.  No residual inside
+    — the caller adds it (detr_layers.py:554-556)."""
+
+    embed_dims: int = 256
+    feedforward_channels: int = 2048
+    spike: str = "qspike"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        xf, t = fold_t(x)
+        xf = Spike(self.spike)(xf)
+        xf = nn.Conv(self.feedforward_channels, (1,), use_bias=True,
+                     dtype=self.dtype)(xf)
+        xf = BatchNorm(use_running_average=not train)(xf)
+        xf = Spike(self.spike)(xf)
+        xf = nn.Conv(self.embed_dims, (1,), use_bias=True,
+                     dtype=self.dtype)(xf)
+        xf = BatchNorm(use_running_average=not train)(xf)
+        return unfold_t(xf, t)
+
+
+class SpikeMLP3(nn.Module):
+    """3-layer Q-IF MLP used for mask embeddings: fc→(spike*α)→fc→(spike*α)→fc
+    (SNN_core.py:95-123 MLP, quant_const=4)."""
+
+    out_dim: int
+    quant_const: float = 4.0
+    spike: str = "qspike"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        x = nn.Dense(d, use_bias=False, dtype=self.dtype)(x)
+        x = Spike(self.spike)(x) * self.quant_const
+        x = nn.Dense(d, use_bias=False, dtype=self.dtype)(x)
+        x = Spike(self.spike)(x) * self.quant_const
+        x = nn.Dense(self.out_dim, use_bias=True, dtype=self.dtype,
+                     kernel_init=nn.initializers.truncated_normal(0.02))(x)
+        return x

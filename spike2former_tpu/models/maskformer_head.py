@@ -1,0 +1,164 @@
+"""MaskFormer head: DCN pixel decoder + spiking DETR decoder + SDME output.
+
+Reference: mmdet/models/dense_heads/maskformer_head.py:31-586 (forward at
+:498-586) wrapped by the mmseg shim (mmseg/models/decode_heads/
+maskformer_head.py) whose semantic-inference einsum lives in
+``semantic_inference`` below.
+
+Head flow (faithful to the reference):
+  pixel_decoder → 3 scale levels (+ per-level sine PE + level_embed)
+  → 6 decoder layers round-robin over levels, collecting each layer's query
+    features *including the initial queries* (:551-552, Mask2Former-style
+    deep supervision)
+  → SDME output block (:571-582): sigmoid → Q-IF spike → ×α(=4);
+    classification by a linear head averaged over T; mask embeddings via a
+    3-layer spiking MLP plus a learned query-mixing shortcut conv, then a
+    final spike and an einsum with the mask features averaged over T.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.spike import qspike
+from .attention import SpikeMLP3
+from .layers import BatchNorm, Spike, fold_t, unfold_t
+from .pixel_decoder import DCNPixelDecoder
+from .positional import sine_pe_for_shape
+from .transformer_decoder import DetrDecoderLayer
+
+
+class MaskFormerHead(nn.Module):
+    in_channels: Sequence[int] = (32, 64, 128, 360)
+    feat_channels: int = 256
+    out_channels: int = 256
+    num_classes: int = 150
+    num_queries: int = 100
+    num_decoder_layers: int = 6
+    num_feat_levels: int = 3
+    num_heads: int = 8
+    decoder_ffn_channels: int = 2048
+    encoder_ffn_channels: int = 1024
+    num_encoder_layers: int = 6
+    dcn_group: int = 32
+    dw_kernel_size: int = 5
+    alpha: float = 4.0
+    spike: str = "qspike"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jax.Array], train: bool = False):
+        """feats: 4-level pyramid [T,B,h,w,c].
+
+        Returns (all_cls_scores [L+1, B, nq, ncls+1],
+                 all_mask_preds [L+1, B, nq, H/2, W/2]).
+        """
+        c = self.feat_channels
+        mask_features, memory, multi_scale = DCNPixelDecoder(
+            in_channels=self.in_channels, feat_channels=c,
+            out_channels=self.out_channels,
+            num_encoder_layers=self.num_encoder_layers,
+            feedforward_channels=self.encoder_ffn_channels,
+            group=self.dcn_group, dw_kernel_size=self.dw_kernel_size,
+            spike=self.spike, dtype=self.dtype,
+            name="pixel_decoder")(feats, train)
+
+        t, b = memory.shape[0], memory.shape[1]
+        nq = self.num_queries
+
+        query_feat = self.param(
+            "query_feat", nn.initializers.normal(1.0), (nq, c))
+        query_embed = self.param(
+            "query_embed", nn.initializers.normal(1.0), (nq, c))
+        level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0),
+            (self.num_feat_levels, c))
+
+        # per-level token inputs + positional encodings
+        decoder_inputs, decoder_pes = [], []
+        for i in range(self.num_feat_levels):
+            lvl = multi_scale[i]  # [T,B,h,w,C]
+            h, w = lvl.shape[2], lvl.shape[3]
+            tokens = lvl.reshape(t, b, h * w, c) + level_embed[i]
+            pe = sine_pe_for_shape(h, w, c // 2).reshape(h * w, c)
+            decoder_inputs.append(tokens)
+            decoder_pes.append(jnp.broadcast_to(pe, (b, h * w, c)))
+
+        query = jnp.broadcast_to(query_feat, (t, b, nq, c))
+        qpos = jnp.broadcast_to(query_embed, (b, nq, c))
+
+        out_dec = [query]  # supervise the initial queries too (:551-552)
+        for i in range(self.num_decoder_layers):
+            lvl = i % self.num_feat_levels
+            query = DetrDecoderLayer(
+                embed_dims=c, num_heads=self.num_heads,
+                feedforward_channels=self.decoder_ffn_channels,
+                spike=self.spike, dtype=self.dtype, name=f"decoder_{i}")(
+                query, decoder_inputs[lvl], decoder_inputs[lvl],
+                qpos, decoder_pes[lvl], train=train)
+            out_dec.append(query)
+
+        out = jnp.stack(out_dec)  # [L+1, T, B, nq, C]
+        if not train:
+            # Deep supervision is only consumed by the loss; at inference the
+            # reference discards all but the last layer (:163-164), so skip
+            # the SDME work for the other six.
+            out = out[-1:]
+        ln = out.shape[0]
+
+        # ---- SDME output block (:571-582) ----
+        out_sig = jax.nn.sigmoid(out.astype(jnp.float32)).astype(out.dtype)
+        out_spiked = self.alpha * Spike(self.spike, name="decoder_out_spike")(
+            out_sig)
+        cls_embed = nn.Dense(
+            self.num_classes + 1, dtype=self.dtype,
+            kernel_init=nn.initializers.truncated_normal(0.02),
+            name="cls_embed")
+        all_cls_scores = cls_embed(out_spiked).mean(axis=1)  # mean over T
+
+        mask_embed = SpikeMLP3(
+            self.out_channels, quant_const=self.alpha, spike=self.spike,
+            dtype=self.dtype, name="mask_embed")(out_spiked)
+
+        # shortcut: conv over the *query* axis + BN over queries
+        # (maskformer_head.py:152-155,576-579)
+        sc = self.alpha * Spike(self.spike, name="shortcut_spike")(out_sig)
+        w_mix = self.param(
+            "shortcut_kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+            (nq, nq))
+        sc = jnp.einsum("ltbqc,pq->ltbpc", sc, w_mix)
+        sc_t = jnp.moveaxis(sc, 3, -1)  # [..., C, nq]
+        sc_t = BatchNorm(use_running_average=not train,
+                         name="shortcut_bn")(
+            sc_t.reshape(-1, c, nq)).reshape(sc_t.shape)
+        sc = jnp.moveaxis(sc_t, -1, 3)
+        w_scale = self.param("w", nn.initializers.ones, (1,))
+        mask_embed = mask_embed + w_scale * sc
+        mask_embed = self.alpha * Spike(self.spike, name="mask_embed_spike")(
+            mask_embed)
+
+        # [L,T,B,nq,C] x [T,B,h,w,C] -> [L,B,nq,h,w]: contract (T, C) in one
+        # dot_general (== einsum('ltbqc,tbchw->ltbqhw').mean(T) of the
+        # reference :581-582, without materializing the 6-D intermediate).
+        all_mask_preds = jnp.einsum(
+            "ltbqc,tbhwc->lbqhw", mask_embed, mask_features,
+            preferred_element_type=jnp.float32) / t
+        return all_cls_scores.astype(jnp.float32), all_mask_preds
+
+
+def semantic_inference(cls_scores: jax.Array, mask_preds: jax.Array
+                       ) -> jax.Array:
+    """Per-pixel class logits from mask classification
+    (mmseg/models/decode_heads/maskformer_head.py:174-177):
+    ``einsum(softmax(cls)[..., :-1], sigmoid(masks))``.
+
+    cls_scores: [B, nq, ncls+1]; mask_preds: [B, nq, H, W]
+    → [B, H, W, ncls] (channels-last).
+    """
+    cls_prob = jax.nn.softmax(cls_scores, axis=-1)[..., :-1]
+    mask_prob = jax.nn.sigmoid(mask_preds)
+    return jnp.einsum("bqc,bqhw->bhwc", cls_prob, mask_prob)

@@ -1,0 +1,85 @@
+"""End-to-end segmentor: backbone → MaskFormer head → semantic logits.
+
+Reference: mmseg/models/segmentors/encoder_decoder.py:17-369 (EncoderDecoder)
++ mmseg/models/data_preprocessor.py:12-152 (SegDataPreProcessor).  The
+device-side preprocessing (normalize, pad) is a jitted op here; whole- and
+sliding-window inference live in ``spike2former_tpu/engine/inference.py``.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.resize import resize_bilinear
+from .maskformer_head import MaskFormerHead, semantic_inference
+from .sdtv2 import SpikingMetaFormer
+
+# ImageNet RGB normalization used by every shipped config
+# (configs/Spike2Former/*.py data_preprocessor).
+IMAGENET_MEAN = (123.675, 116.28, 103.53)
+IMAGENET_STD = (58.395, 57.12, 57.375)
+
+
+def preprocess(images_u8: jax.Array,
+               mean: Sequence[float] = IMAGENET_MEAN,
+               std: Sequence[float] = IMAGENET_STD) -> jax.Array:
+    """[B, H, W, 3] uint8/float RGB → normalized float32."""
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    return (images_u8.astype(jnp.float32) - mean) / std
+
+
+class Spike2Former(nn.Module):
+    """Spiking MaskFormer segmentor (SDTv2/SDTv3 backbone + DCN MaskFormer
+    head)."""
+
+    num_classes: int = 150
+    embed_dim: Sequence[int] = (64, 128, 256, 360)
+    backbone_heads: int = 8
+    T: int = 4
+    variant: str = "sdtv2"
+    feat_channels: int = 256
+    num_queries: int = 100
+    num_decoder_layers: int = 6
+    num_encoder_layers: int = 6
+    depths_stage3: int = 6
+    depths_stage4: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        e = self.embed_dim
+        self.backbone = SpikingMetaFormer(
+            embed_dim=e, num_heads=self.backbone_heads, T=self.T,
+            variant=self.variant, depths_stage3=self.depths_stage3,
+            depths_stage4=self.depths_stage4, dtype=self.dtype)
+        self.head = MaskFormerHead(
+            in_channels=(e[0] // 2, e[0], e[1], e[3]),
+            feat_channels=self.feat_channels,
+            out_channels=self.feat_channels,
+            num_classes=self.num_classes,
+            num_queries=self.num_queries,
+            num_decoder_layers=self.num_decoder_layers,
+            num_encoder_layers=self.num_encoder_layers,
+            spike="qspike", dtype=self.dtype)
+
+    def __call__(self, images: jax.Array, train: bool = False):
+        """images: [B, H, W, 3] normalized.  Returns (cls_scores, mask_preds)
+        — [L, B, nq, ncls+1], [L, B, nq, H/2, W/2] (L=7 in train, 1 in
+        eval)."""
+        feats = self.backbone(images, train)
+        return self.head(feats, train)
+
+    def predict_logits(self, images: jax.Array) -> jax.Array:
+        """Whole-image semantic logits at input resolution
+        (encoder_decoder.py whole_inference + the mmseg head shim's
+        semantic-inference einsum): [B, H, W, num_classes]."""
+        cls_scores, mask_preds = self(images, train=False)
+        mask = mask_preds[-1]  # [B, nq, h, w]
+        b, nq, h, w = mask.shape
+        hw = images.shape[1:3]
+        mask = resize_bilinear(
+            mask.transpose(0, 2, 3, 1), hw).transpose(0, 3, 1, 2)
+        return semantic_inference(cls_scores[-1], mask)

@@ -1,0 +1,47 @@
+"""Spiking DETR transformer decoder.
+
+Reference: mmdet/models/layers/transformer/detr_layers.py —
+``DetrTransformerDecoder`` (:112-185, return_intermediate, post-norm
+disabled) and the active ``DetrTransformerDecoderLayer`` (:417-559):
+cross-attn → self-attn → FFN, residual adds in the layer, all attention
+softmax-free spiking MHA with positional embeddings added to query/key
+(mmcv_spike/transformer.py:626-629).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .attention import MSDAFFN, SpikeMHA
+
+
+class DetrDecoderLayer(nn.Module):
+    embed_dims: int = 256
+    num_heads: int = 8
+    feedforward_channels: int = 2048
+    spike: str = "qspike"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, key, value, query_pos, key_pos,
+                 cross_attn_mask=None, self_attn_mask=None,
+                 train: bool = False):
+        """query [T,B,nq,C]; key/value [T,B,nk,C]; *_pos [B,n,C]
+        (broadcast over T)."""
+        q_ca = SpikeMHA(self.embed_dims, self.num_heads, self.spike,
+                        self.dtype, name="cross_attn")(
+            query + query_pos, key + key_pos, value,
+            attn_mask=cross_attn_mask, train=train)
+        query = query + q_ca
+
+        q_sa = SpikeMHA(self.embed_dims, self.num_heads, self.spike,
+                        self.dtype, name="self_attn")(
+            query + query_pos, query + query_pos, query,
+            attn_mask=self_attn_mask, train=train)
+        query = query + q_sa
+
+        query = query + MSDAFFN(
+            self.embed_dims, self.feedforward_channels, spike=self.spike,
+            dtype=self.dtype, name="ffn")(query, train)
+        return query
