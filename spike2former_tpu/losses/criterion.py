@@ -1,0 +1,161 @@
+"""MaskFormer training criterion: Hungarian-matched CE + focal + dice, with
+deep supervision over every decoder layer.
+
+Reference: mmdet/models/dense_heads/maskformer_head.py —
+``loss_by_feat`` (:367-408), ``_get_targets_single`` (:296-365),
+``_loss_by_feat_single`` (:410-496).  Faithful details:
+* GT masks are nearest-downsampled to the mask-prediction resolution for
+  matching (:329-334), but the dice/focal losses upsample predictions
+  (bilinear) to the GT resolution (:475-479).
+* The focal "mask loss" trains on the *complement* ``1 - mask_target``
+  (:493-494) with avg_factor ``num_total_masks * h * w``.
+* ``num_total_masks`` is the cross-replica mean of matched-GT counts
+  (``reduce_mean``, :459) — here a global batch mean that XLA turns into a
+  collective under a sharded jit.
+
+TPU design: GT is padded to a static ``max_gt`` instances per image
+(labels [B, G], masks [B, G, H, W], valid [B, G]) so every shape is static.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.resize import resize_bilinear, resize_nearest_torch
+from .losses import dice_loss, sigmoid_focal_loss, weighted_cross_entropy
+from .matcher import auction_match, hungarian_host, match_costs
+
+
+class GroundTruth(NamedTuple):
+    """Padded mask-classification targets."""
+
+    labels: jax.Array  # [B, G] int32 (class id; arbitrary where invalid)
+    masks: jax.Array   # [B, G, H, W] {0,1}
+    valid: jax.Array   # [B, G] bool
+
+
+def semantic_to_instances(sem_seg: jax.Array, num_classes: int,
+                          max_gt: int, ignore_index: int = 255
+                          ) -> GroundTruth:
+    """Per-class binary masks from a semantic map (the mmseg shim's
+    ``_seg_data_to_instance_data``, mmseg maskformer_head.py:84-105), with
+    static shapes: one slot per class id, valid where the class is present.
+
+    sem_seg: [B, H, W] int.  Requires max_gt >= num_classes.
+    """
+    assert max_gt >= num_classes
+    b, h, w = sem_seg.shape
+    class_ids = jnp.arange(max_gt, dtype=jnp.int32)
+    masks = (sem_seg[:, None, :, :] == class_ids[None, :, None, None])
+    present = jnp.any(masks, axis=(2, 3)) & (class_ids < num_classes)[None]
+    return GroundTruth(
+        labels=jnp.broadcast_to(class_ids, (b, max_gt)),
+        masks=masks.astype(jnp.float32),
+        valid=present,
+    )
+
+
+def _layer_loss(cls_scores, mask_preds, gt: GroundTruth, *,
+                num_classes: int, class_weight, matcher: str,
+                focal_weight: float, dice_weight: float,
+                num_total_masks) -> dict[str, jax.Array]:
+    """Loss for one decoder layer.
+
+    cls_scores [B, nq, K+1]; mask_preds [B, nq, h, w] (mask resolution);
+    gt masks at full GT resolution [B, G, H, W].
+    """
+    b, nq = cls_scores.shape[:2]
+    g = gt.labels.shape[1]
+    h, w = mask_preds.shape[-2:]
+    gh, gw = gt.masks.shape[-2:]
+
+    # ---- matching on downsampled GT ----
+    gt_ds = resize_nearest_torch(gt.masks[..., None], (h, w))[..., 0]
+    costs = jax.vmap(functools.partial(
+        match_costs, focal_weight=focal_weight, dice_weight=dice_weight))(
+        cls_scores, mask_preds, gt.labels, gt_ds, gt.valid)
+    costs = jax.lax.stop_gradient(costs)
+    if matcher == "host":
+        matched_q = hungarian_host(costs)  # [B, G]
+    else:
+        matched_q = auction_match(costs)
+    matched_q = jnp.where(gt.valid, matched_q, -1)
+
+    # ---- classification targets ----
+    # default: background class (num_classes); matched queries get gt labels
+    safe_q = jnp.where(matched_q >= 0, matched_q, 0)
+    updates = jnp.where(matched_q >= 0, gt.labels, num_classes)
+    labels = jnp.full((b, nq), num_classes, jnp.int32).at[
+        jnp.arange(b)[:, None], safe_q
+    ].set(jnp.where(matched_q >= 0, updates, num_classes))
+
+    loss_cls = weighted_cross_entropy(
+        cls_scores.reshape(b * nq, -1), labels.reshape(-1), class_weight)
+
+    # ---- mask losses on matched pairs, upsampled to GT resolution ----
+    pred_at_gt = jax.vmap(
+        lambda mp, q: mp[q])(mask_preds, safe_q)  # [B, G, h, w]
+    pred_up = resize_bilinear(
+        pred_at_gt[..., None], (gh, gw))[..., 0]  # [B, G, gh, gw]
+    pair_w = (gt.valid & (matched_q >= 0)).astype(jnp.float32)  # [B, G]
+
+    loss_dice = dice_loss(
+        pred_up.reshape(b * g, gh, gw), gt.masks.reshape(b * g, gh, gw),
+        weight=pair_w.reshape(-1), eps=1.0, naive=True, activate=True,
+        avg_factor=num_total_masks)
+
+    loss_focal = sigmoid_focal_loss(
+        pred_up, 1.0 - gt.masks,  # complement target (:493-494)
+        weight=pair_w[..., None, None],
+        avg_factor=num_total_masks * gh * gw)
+
+    return dict(loss_cls=loss_cls, loss_mask=loss_focal * 20.0,
+                loss_dice=loss_dice)
+
+
+def maskformer_loss(
+    all_cls_scores: jax.Array,   # [L, B, nq, K+1]
+    all_mask_preds: jax.Array,   # [L, B, nq, h, w]
+    gt: GroundTruth,
+    *,
+    num_classes: int,
+    bg_class_weight: float = 0.1,
+    focal_weight: float = 20.0,
+    dice_weight: float = 1.0,
+    matcher: str = "host",
+) -> dict[str, jax.Array]:
+    """Deep-supervised loss over all decoder layers (loss_by_feat :367-408).
+
+    Returns per-layer loss dict {loss_cls, loss_mask, loss_dice,
+    d{i}.loss_*} exactly like the reference logger keys.
+    """
+    class_weight = jnp.asarray(
+        [1.0] * num_classes + [bg_class_weight], jnp.float32)
+
+    # num_total_masks: the reference takes the cross-replica *mean* of the
+    # per-rank matched-GT count (reduce_mean, :459).  With a single global
+    # batch under jit-sharding the equivalent normalizer is the global count
+    # scaled by 1/num_shards; we keep the global count and fold the shard
+    # factor into the data-parallel loss scaling (see engine/train.py).
+    num_total = jnp.maximum(jnp.sum(gt.valid.astype(jnp.float32)), 1.0)
+
+    layer_fn = functools.partial(
+        _layer_loss, gt=gt, num_classes=num_classes,
+        class_weight=class_weight, matcher=matcher,
+        focal_weight=focal_weight, dice_weight=dice_weight,
+        num_total_masks=num_total)
+
+    num_layers = all_cls_scores.shape[0]
+    losses: dict[str, jax.Array] = {}
+    for i in range(num_layers):
+        li = layer_fn(all_cls_scores[i], all_mask_preds[i])
+        if i == num_layers - 1:
+            losses.update(li)
+        else:
+            losses.update({f"d{i}.{k}": v for k, v in li.items()})
+    losses["total"] = sum(
+        v for k, v in losses.items() if k != "total")
+    return losses

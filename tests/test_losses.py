@@ -1,0 +1,140 @@
+"""Loss & matcher tests incl. torch goldens for the loss formulas."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from spike2former_tpu.losses import (
+    auction_match, dice_loss, hungarian_host, maskformer_loss, match_costs,
+    semantic_to_instances, sigmoid_focal_loss, weighted_cross_entropy,
+    GroundTruth,
+)
+
+
+def test_focal_matches_torch():
+    rng = np.random.default_rng(0)
+    pred = rng.normal(size=(40,)).astype(np.float32)
+    target = (rng.uniform(size=(40,)) > 0.5).astype(np.float32)
+
+    pt_pred = torch.from_numpy(pred)
+    pt_t = torch.from_numpy(target)
+    p = pt_pred.sigmoid()
+    ptv = (1 - p) * pt_t + p * (1 - pt_t)
+    fw = (0.25 * pt_t + 0.75 * (1 - pt_t)) * ptv.pow(2.0)
+    want = (F.binary_cross_entropy_with_logits(
+        pt_pred, pt_t, reduction="none") * fw).sum().item() / 7.0
+
+    got = float(sigmoid_focal_loss(
+        jnp.asarray(pred), jnp.asarray(target), avg_factor=7.0))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_dice_matches_reference_formula():
+    rng = np.random.default_rng(1)
+    pred = rng.normal(size=(3, 8, 8)).astype(np.float32)
+    tgt = (rng.uniform(size=(3, 8, 8)) > 0.5).astype(np.float32)
+    p = 1 / (1 + np.exp(-pred.reshape(3, -1)))
+    t = tgt.reshape(3, -1)
+    a = (p * t).sum(1)
+    d = (2 * a + 1.0) / (p.sum(1) + t.sum(1) + 1.0)
+    want = (1 - d).sum() / 3.0
+    got = float(dice_loss(jnp.asarray(pred), jnp.asarray(tgt),
+                          eps=1.0, avg_factor=3.0))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_weighted_ce_matches_torch():
+    rng = np.random.default_rng(2)
+    logits = rng.normal(size=(10, 5)).astype(np.float32)
+    labels = rng.integers(0, 5, size=(10,))
+    cw = np.asarray([1, 1, 1, 1, 0.1], np.float32)
+    want = F.cross_entropy(
+        torch.from_numpy(logits), torch.from_numpy(labels),
+        weight=torch.from_numpy(cw), reduction="sum").item() / cw[labels].sum()
+    got = float(weighted_cross_entropy(
+        jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(cw)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def _random_problem(seed, b=2, nq=12, g=6, hw=16):
+    rng = np.random.default_rng(seed)
+    cls = rng.normal(size=(b, nq, 5)).astype(np.float32)
+    masks = rng.normal(size=(b, nq, hw, hw)).astype(np.float32)
+    gt_labels = rng.integers(0, 4, size=(b, g)).astype(np.int32)
+    gt_masks = (rng.uniform(size=(b, g, hw, hw)) > 0.5).astype(np.float32)
+    valid = np.ones((b, g), bool)
+    valid[:, 4:] = False
+    return cls, masks, gt_labels, gt_masks, valid
+
+
+def test_auction_matches_scipy_cost():
+    """The auction assignment should achieve the same total cost as scipy's
+    exact Hungarian on the valid columns."""
+    from scipy.optimize import linear_sum_assignment
+
+    cls, masks, gl, gm, valid = _random_problem(3)
+    costs = jax.vmap(match_costs)(
+        jnp.asarray(cls), jnp.asarray(masks), jnp.asarray(gl),
+        jnp.asarray(gm), jnp.asarray(valid))
+    costs_np = np.asarray(costs)
+
+    got = np.asarray(auction_match(costs))
+    for i in range(costs_np.shape[0]):
+        rows, cols = linear_sum_assignment(costs_np[i])
+        want_cost = sum(costs_np[i, r, c] for r, c in zip(rows, cols)
+                        if valid[i, c])
+        got_cost = sum(costs_np[i, got[i, c], c]
+                       for c in range(valid.shape[1]) if valid[i, c])
+        # each valid gt matched to a distinct query
+        vq = [got[i, c] for c in range(valid.shape[1]) if valid[i, c]]
+        assert len(set(vq)) == len(vq) and min(vq) >= 0
+        np.testing.assert_allclose(got_cost, want_cost, atol=1e-2)
+
+
+def test_hungarian_host_callback():
+    cls, masks, gl, gm, valid = _random_problem(4)
+    costs = jax.vmap(match_costs)(
+        jnp.asarray(cls), jnp.asarray(masks), jnp.asarray(gl),
+        jnp.asarray(gm), jnp.asarray(valid))
+    out = jax.jit(hungarian_host)(costs)
+    assert out.shape == valid.shape
+
+
+def test_semantic_to_instances():
+    sem = np.full((1, 8, 8), 255, np.int32)
+    sem[0, :4] = 2
+    sem[0, 4:] = 7
+    gt = semantic_to_instances(jnp.asarray(sem), num_classes=10, max_gt=12)
+    valid = np.asarray(gt.valid[0])
+    assert valid[2] and valid[7] and valid.sum() == 2
+    np.testing.assert_allclose(
+        np.asarray(gt.masks[0, 2]).sum(), 32)
+
+
+def test_maskformer_loss_end_to_end():
+    cls, masks, gl, gm, valid = _random_problem(5)
+    L = 2
+    all_cls = jnp.stack([jnp.asarray(cls)] * L)
+    all_masks = jnp.stack([jnp.asarray(masks)] * L)
+    gt = GroundTruth(jnp.asarray(gl), jnp.asarray(gm), jnp.asarray(valid))
+    losses = maskformer_loss(all_cls, all_masks, gt, num_classes=4,
+                             matcher="auction")
+    assert set(losses) >= {"loss_cls", "loss_mask", "loss_dice",
+                           "d0.loss_cls", "total"}
+    assert np.isfinite(float(losses["total"]))
+
+
+def test_maskformer_loss_gradable():
+    cls, masks, gl, gm, valid = _random_problem(6, b=1, nq=6, g=3, hw=8)
+    gt = GroundTruth(jnp.asarray(gl), jnp.asarray(gm), jnp.asarray(valid))
+
+    def f(c, m):
+        return maskformer_loss(c[None], m[None], gt, num_classes=4,
+                               matcher="auction")["total"]
+
+    gc, gm_ = jax.grad(f, argnums=(0, 1))(jnp.asarray(cls),
+                                          jnp.asarray(masks))
+    assert np.isfinite(np.asarray(gc)).all()
+    assert np.isfinite(np.asarray(gm_)).all()
+    assert float(jnp.abs(gm_).sum()) > 0
