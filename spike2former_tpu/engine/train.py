@@ -1,0 +1,74 @@
+"""Training step: forward + Hungarian-matched loss + AdamW update, designed
+to be ``jit``-ed over a device mesh.
+
+Equivalent of the reference's mmengine IterBasedTrainLoop + OptimWrapper
+(tools/train.py + configs ...ade20k.py:149-167) — but as one pure function:
+no hooks, no membrane-reset bookkeeping (the spike ops are stateless, see
+ops/spike.py), gradients/metrics reduced by XLA collectives instead of NCCL.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+
+from ..losses import GroundTruth, maskformer_loss, semantic_to_instances
+from ..models.segmentor import Spike2Former, preprocess
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def init_state(model: Spike2Former, tx: optax.GradientTransformation,
+               rng: jax.Array, sample_images: jax.Array) -> TrainState:
+    variables = model.init(rng, sample_images, True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+
+
+def make_train_step(model: Spike2Former, tx: optax.GradientTransformation,
+                    num_classes: int, max_gt: int = 160,
+                    matcher: str = "auction"):
+    """Returns ``train_step(state, images_u8, sem_seg) -> (state, metrics)``.
+
+    images_u8: [B, H, W, 3] RGB; sem_seg: [B, H, W] int32 class map with 255
+    as ignore.  All shapes static; GT is padded per ``semantic_to_instances``.
+    """
+
+    def loss_fn(params, batch_stats, images, sem_seg):
+        x = preprocess(images)
+        (cls_scores, mask_preds), updates = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, True,
+            mutable=["batch_stats"])
+        gt = semantic_to_instances(sem_seg, num_classes, max_gt)
+        losses = maskformer_loss(
+            cls_scores, mask_preds, gt, num_classes=num_classes,
+            matcher=matcher)
+        return losses["total"], (losses, updates["batch_stats"])
+
+    def train_step(state: TrainState, images, sem_seg):
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                   images, sem_seg)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {k: v for k, v in losses.items()}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(state.step + 1, new_params, new_stats,
+                          new_opt), metrics
+
+    return train_step

@@ -1,0 +1,88 @@
+"""Train-step, IoU metric, and sliding-window inference tests (tiny, CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spike2former_tpu.engine import (
+    init_state, make_optimizer, make_train_step, poly_warmup_schedule,
+    slide_logits,
+)
+from spike2former_tpu.evaluation import compute_iou, init_iou, update_iou
+from spike2former_tpu.models import Spike2Former
+
+
+def tiny_model(num_classes=6):
+    return Spike2Former(
+        num_classes=num_classes, embed_dim=(16, 32, 48, 64),
+        backbone_heads=8, T=1, feat_channels=32, num_queries=6,
+        num_decoder_layers=1, num_encoder_layers=1,
+        depths_stage3=1, depths_stage4=1)
+
+
+def test_train_step_runs_and_decreases_nothing_nan():
+    model = tiny_model()
+    imgs = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    tx = make_optimizer(
+        model.init(jax.random.PRNGKey(0), imgs, True)["params"])
+    state = init_state(model, tx, jax.random.PRNGKey(0), imgs)
+    step = make_train_step(model, tx, num_classes=6, max_gt=8)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 255, (2, 32, 32, 3)), jnp.float32)
+    sem = jnp.asarray(rng.integers(0, 6, (2, 32, 32)), jnp.int32)
+    state2, metrics = jax.jit(step)(state, images, sem)
+    assert int(state2.step) == 1
+    assert np.isfinite(float(metrics["total"]))
+    # params actually changed
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, state2.params)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+def test_schedule_matches_reference_shape():
+    s = poly_warmup_schedule(1e-3, warmup_iters=10, total_iters=100)
+    assert float(s(0)) < 1e-6 + 1e-9
+    np.testing.assert_allclose(float(s(10)), 1e-3, rtol=1e-5)
+    np.testing.assert_allclose(float(s(55)), 1e-3 * 0.5, rtol=1e-5)
+    np.testing.assert_allclose(float(s(100)), 0.0, atol=1e-9)
+
+
+def test_iou_metric_perfect_and_mismatch():
+    st = init_iou(3)
+    pred = jnp.asarray([[[0, 1], [2, 2]]])
+    st = update_iou(st, pred, pred, 3)
+    res = compute_iou(st)
+    assert res["mIoU"] == 100.0 and res["aAcc"] == 100.0
+
+    st = init_iou(2)
+    pred = jnp.asarray([[[0, 0], [1, 1]]])
+    label = jnp.asarray([[[0, 1], [255, 1]]])
+    st = update_iou(st, pred, label, 2)
+    res = compute_iou(st)
+    # class0: inter 1, union 2+1-1=2 → 0.5 ; class1: inter 1, union 1+2-1=2
+    np.testing.assert_allclose(res["mIoU"], 50.0)
+
+
+def test_slide_matches_whole_when_single_window():
+    model = tiny_model()
+    x = jnp.zeros((1, 32, 32, 3))
+    vars_ = model.init(jax.random.PRNGKey(0), x)
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.integers(0, 255, (1, 32, 32, 3)), jnp.float32)
+    from spike2former_tpu.engine import whole_logits
+    w = whole_logits(model, vars_, img)
+    s = slide_logits(model, vars_, img, crop_size=(32, 32), stride=(32, 32),
+                     num_classes=6)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(s), atol=1e-5)
+
+
+def test_slide_overlapping_windows():
+    model = tiny_model()
+    x = jnp.zeros((1, 32, 32, 3))
+    vars_ = model.init(jax.random.PRNGKey(0), x)
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.integers(0, 255, (1, 48, 48, 3)), jnp.float32)
+    s = slide_logits(model, vars_, img, crop_size=(32, 32), stride=(16, 16),
+                     num_classes=6)
+    assert s.shape == (1, 48, 48, 6)
+    assert np.isfinite(np.asarray(s)).all()
