@@ -47,6 +47,7 @@ class Spike2Former(nn.Module):
     num_encoder_layers: int = 6
     depths_stage3: int = 6
     depths_stage4: int = 2
+    dcn_group: int = 32
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -63,6 +64,7 @@ class Spike2Former(nn.Module):
             num_queries=self.num_queries,
             num_decoder_layers=self.num_decoder_layers,
             num_encoder_layers=self.num_encoder_layers,
+            dcn_group=min(self.dcn_group, self.feat_channels),
             spike="qspike", dtype=self.dtype)
 
     def __call__(self, images: jax.Array, train: bool = False):
