@@ -1,0 +1,87 @@
+"""Threaded prefetching data loader producing static-shape numpy batches.
+
+Replaces the reference's torch DataLoader (16 worker processes per GPU,
+configs ...ade20k.py:182).  Decode + augmentation run in a thread pool
+(PIL/numpy release the GIL for the heavy parts); a bounded queue
+double-buffers batches ahead of the accelerator.  The optional native
+runtime (spike2former_tpu/runtime) accelerates JPEG decode + resize in C++.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator
+
+import numpy as np
+
+from .dataset import SegDataset
+from .transforms import train_pipeline
+
+
+class TrainLoader:
+    def __init__(self, dataset: SegDataset, batch_size: int,
+                 crop_size=(512, 512), seed: int = 0, num_workers: int = 8,
+                 prefetch: int = 4, infinite: bool = True):
+        self.ds = dataset
+        self.bs = batch_size
+        self.crop = crop_size
+        self.rng = np.random.default_rng(seed)
+        self.pool = ThreadPoolExecutor(num_workers)
+        self.q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self.infinite = infinite
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._producer, daemon=True)
+        self._thread.start()
+
+    def _load_one(self, idx: int, seed: int):
+        rng = np.random.default_rng(seed)
+        s = train_pipeline(self.ds.load(idx), rng, self.crop)
+        return s["image"], s["sem_seg"]
+
+    def _producer(self):
+        epoch = 0
+        while not self._stop.is_set():
+            order = self.rng.permutation(len(self.ds))
+            for i in range(0, len(order) - self.bs + 1, self.bs):
+                idxs = order[i:i + self.bs]
+                seeds = self.rng.integers(0, 2**31, size=self.bs)
+                futs = [self.pool.submit(self._load_one, int(j), int(sd))
+                        for j, sd in zip(idxs, seeds)]
+                imgs, segs = zip(*(f.result() for f in futs))
+                batch = (np.stack(imgs).astype(np.float32),
+                         np.stack(segs).astype(np.int32))
+                while not self._stop.is_set():
+                    try:
+                        self.q.put(batch, timeout=1.0)
+                        break
+                    except queue.Full:
+                        continue
+            epoch += 1
+            if not self.infinite:
+                self.q.put(None)
+                return
+
+    def __iter__(self) -> Iterator:
+        while True:
+            item = self.q.get()
+            if item is None:
+                return
+            yield item
+
+    def close(self):
+        self._stop.set()
+
+
+def eval_batches(dataset: SegDataset, batch_size: int = 1,
+                 scale=(2048, 512), size_divisor: int = 32):
+    """Sequential eval iterator: yields (images [B,H,W,3] f32,
+    sem_seg [B,H,W] i32 or None, metas)."""
+    from .transforms import test_pipeline
+
+    for i in range(len(dataset)):
+        s = test_pipeline(dataset.load(i), scale, size_divisor=size_divisor)
+        img = s["image"][None].astype(np.float32)
+        seg = (None if s.get("sem_seg") is None
+               else s["sem_seg"][None].astype(np.int32))
+        yield img, seg, [s["meta"]]

@@ -1,0 +1,130 @@
+"""Dataset metainfo: class names, palettes, and layout conventions.
+
+Reference: mmseg/datasets/{ade.py, cityscapes.py, voc.py, coco_stuff.py}
+METAINFO blocks and mmseg/utils/class_names.py.  These are the standard
+public label sets for each benchmark.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DatasetMeta:
+    name: str
+    classes: tuple
+    reduce_zero_label: bool
+    img_suffix: str = ".jpg"
+    seg_suffix: str = ".png"
+    ignore_index: int = 255
+    # relative dirs (mmseg layout): (img_dir, ann_dir) per split
+    splits: dict = field(default_factory=dict)
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.classes)
+
+
+ADE20K_CLASSES = (
+    "wall", "building", "sky", "floor", "tree", "ceiling", "road", "bed",
+    "windowpane", "grass", "cabinet", "sidewalk", "person", "earth", "door",
+    "table", "mountain", "plant", "curtain", "chair", "car", "water",
+    "painting", "sofa", "shelf", "house", "sea", "mirror", "rug", "field",
+    "armchair", "seat", "fence", "desk", "rock", "wardrobe", "lamp",
+    "bathtub", "railing", "cushion", "base", "box", "column", "signboard",
+    "chest of drawers", "counter", "sand", "sink", "skyscraper", "fireplace",
+    "refrigerator", "grandstand", "path", "stairs", "runway", "case",
+    "pool table", "pillow", "screen door", "stairway", "river", "bridge",
+    "bookcase", "blind", "coffee table", "toilet", "flower", "book", "hill",
+    "bench", "countertop", "stove", "palm", "kitchen island", "computer",
+    "swivel chair", "boat", "bar", "arcade machine", "hovel", "bus", "towel",
+    "light", "truck", "tower", "chandelier", "awning", "streetlight",
+    "booth", "television receiver", "airplane", "dirt track", "apparel",
+    "pole", "land", "bannister", "escalator", "ottoman", "bottle", "buffet",
+    "poster", "stage", "van", "ship", "fountain", "conveyer belt", "canopy",
+    "washer", "plaything", "swimming pool", "stool", "barrel", "basket",
+    "waterfall", "tent", "bag", "minibike", "cradle", "oven", "ball",
+    "food", "step", "tank", "trade name", "microwave", "pot", "animal",
+    "bicycle", "lake", "dishwasher", "screen", "blanket", "sculpture",
+    "hood", "sconce", "vase", "traffic light", "tray", "ashcan", "fan",
+    "pier", "crt screen", "plate", "monitor", "bulletin board", "shower",
+    "radiator", "glass", "clock", "flag",
+)
+
+CITYSCAPES_CLASSES = (
+    "road", "sidewalk", "building", "wall", "fence", "pole",
+    "traffic light", "traffic sign", "vegetation", "terrain", "sky",
+    "person", "rider", "car", "truck", "bus", "train", "motorcycle",
+    "bicycle",
+)
+
+VOC_CLASSES = (
+    "background", "aeroplane", "bicycle", "bird", "boat", "bottle", "bus",
+    "car", "cat", "chair", "cow", "diningtable", "dog", "horse",
+    "motorbike", "person", "pottedplant", "sheep", "sofa", "train",
+    "tvmonitor",
+)
+
+# COCO-Stuff uses 171 used classes of the 182 ids; mmseg's COCOStuffDataset
+# lists all names — we keep the count contract (171) with generated names
+# where it matters only for reporting.
+COCO_STUFF_NUM_CLASSES = 171
+
+
+ADE20K = DatasetMeta(
+    name="ade20k",
+    classes=ADE20K_CLASSES,
+    reduce_zero_label=True,
+    splits={
+        "train": ("images/training", "annotations/training"),
+        "val": ("images/validation", "annotations/validation"),
+    },
+)
+
+CITYSCAPES = DatasetMeta(
+    name="cityscapes",
+    classes=CITYSCAPES_CLASSES,
+    reduce_zero_label=False,
+    img_suffix="_leftImg8bit.png",
+    seg_suffix="_gtFine_labelTrainIds.png",
+    splits={
+        "train": ("leftImg8bit/train", "gtFine/train"),
+        "val": ("leftImg8bit/val", "gtFine/val"),
+    },
+)
+
+VOC2012 = DatasetMeta(
+    name="voc2012",
+    classes=VOC_CLASSES,
+    reduce_zero_label=False,
+    img_suffix=".jpg",
+    seg_suffix=".png",
+    splits={
+        "train": ("JPEGImages", "SegmentationClass"),
+        "val": ("JPEGImages", "SegmentationClass"),
+    },
+)
+
+COCO_STUFF_164K = DatasetMeta(
+    name="coco_stuff164k",
+    classes=tuple(f"class_{i}" for i in range(COCO_STUFF_NUM_CLASSES)),
+    reduce_zero_label=False,
+    img_suffix=".jpg",
+    seg_suffix="_labelTrainIds.png",
+    splits={
+        "train": ("images/train2017", "annotations/train2017"),
+        "val": ("images/val2017", "annotations/val2017"),
+    },
+)
+
+DATASETS = {d.name: d for d in (ADE20K, CITYSCAPES, VOC2012,
+                                COCO_STUFF_164K)}
+
+
+def ade_palette() -> list[list[int]]:
+    """Deterministic ADE20K-style palette (mmseg uses a fixed list; any
+    stable palette works for visualization)."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    return [list(map(int, rng.randint(0, 255, 3))) for _ in range(150)]

@@ -1,0 +1,241 @@
+"""Host-side data transforms (numpy/PIL), mirroring the reference training
+and test pipelines.
+
+Reference: mmseg/datasets/transforms/{loading.py, transforms.py,
+formatting.py} — the active ADE20K train pipeline
+(configs/Spike2Former/SDTv2_maskformer_DCNpixelDecoder_ade20k.py:168-180):
+LoadImageFromFile → LoadAnnotations(reduce_zero_label) →
+RandomChoiceResize(ResizeShortestEdge, scales 320..1280, max 2560) →
+RandomCrop(512, cat_max_ratio=0.75) → RandomFlip(0.5) →
+PhotoMetricDistortion → PackSegInputs;
+test: Resize(scale=(2048, 512), keep_ratio) → pad-to-static.
+
+All transforms are pure numpy functions over a ``sample`` dict:
+{image: uint8 [H,W,3] RGB, sem_seg: uint8/int32 [H,W], meta: {...}}.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import numpy as np
+from PIL import Image
+
+
+Sample = dict
+
+
+def load_image(path: str) -> np.ndarray:
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+def load_annotation(path: str, reduce_zero_label: bool) -> np.ndarray:
+    with Image.open(path) as im:
+        seg = np.asarray(im)
+    if seg.ndim == 3:
+        seg = seg[..., 0]
+    seg = seg.astype(np.int32)
+    if reduce_zero_label:
+        # 0 (unlabeled) -> 255; k -> k-1  (loading.py LoadAnnotations)
+        seg = np.where(seg == 0, 255, seg - 1)
+        seg = np.where(seg == 254, 255, seg)
+    return seg
+
+
+def _pil_resize(arr: np.ndarray, size_wh: tuple[int, int],
+                nearest: bool) -> np.ndarray:
+    mode = Image.NEAREST if nearest else Image.BILINEAR
+    if arr.ndim == 2:
+        return np.asarray(Image.fromarray(arr.astype(np.int32), "I").resize(
+            size_wh, Image.NEAREST), np.int32)
+    return np.asarray(Image.fromarray(arr).resize(size_wh, mode))
+
+
+def resize_shortest_edge(sample: Sample, scale: int, max_size: int) -> Sample:
+    """ResizeShortestEdge (transforms.py:1324): shortest side → ``scale``,
+    capped so the longest side <= max_size, keeping aspect ratio."""
+    h, w = sample["image"].shape[:2]
+    s = scale / min(h, w)
+    if max(h, w) * s > max_size:
+        s = max_size / max(h, w)
+    nh, nw = int(round(h * s)), int(round(w * s))
+    return _apply_resize(sample, nh, nw)
+
+
+def resize_keep_ratio(sample: Sample, scale_long: int, scale_short: int
+                      ) -> Sample:
+    """mmcv keep-ratio Resize with scale=(long, short) — the eval resize."""
+    h, w = sample["image"].shape[:2]
+    s = min(scale_long / max(h, w), scale_short / min(h, w))
+    nh, nw = int(h * s + 0.5), int(w * s + 0.5)
+    return _apply_resize(sample, nh, nw)
+
+
+def _apply_resize(sample: Sample, nh: int, nw: int) -> Sample:
+    out = dict(sample)
+    out["image"] = _pil_resize(sample["image"], (nw, nh), nearest=False)
+    if "sem_seg" in sample and sample["sem_seg"] is not None:
+        out["sem_seg"] = _pil_resize(sample["sem_seg"], (nw, nh),
+                                     nearest=True)
+    out.setdefault("meta", {})
+    out["meta"] = dict(out["meta"], img_shape=(nh, nw))
+    return out
+
+
+def random_choice_resize(sample: Sample, rng: np.random.Generator,
+                         scales=tuple(int(x * 0.1 * 640) for x in
+                                      range(5, 21)),
+                         max_size: int = 2560) -> Sample:
+    scale = int(rng.choice(np.asarray(scales)))
+    return resize_shortest_edge(sample, scale, max_size)
+
+
+def random_crop(sample: Sample, rng: np.random.Generator,
+                crop_size: tuple[int, int], cat_max_ratio: float = 0.75,
+                ignore_index: int = 255) -> Sample:
+    """RandomCrop with category-dominance rejection (transforms.py:206):
+    re-draw up to 10 crops until no class occupies > cat_max_ratio."""
+    img = sample["image"]
+    seg = sample.get("sem_seg")
+    ch, cw = crop_size
+    h, w = img.shape[:2]
+
+    def draw():
+        y = int(rng.integers(0, max(h - ch, 0) + 1))
+        x = int(rng.integers(0, max(w - cw, 0) + 1))
+        return y, x
+
+    y, x = draw()
+    if seg is not None and cat_max_ratio < 1.0:
+        for _ in range(10):
+            crop = seg[y:y + ch, x:x + cw]
+            labels, counts = np.unique(crop[crop != ignore_index],
+                                       return_counts=True)
+            if len(counts) > 1 and counts.max() / counts.sum() \
+                    < cat_max_ratio:
+                break
+            y, x = draw()
+    out = dict(sample)
+    out["image"] = img[y:y + ch, x:x + cw]
+    if seg is not None:
+        out["sem_seg"] = seg[y:y + ch, x:x + cw]
+    return out
+
+
+def random_flip(sample: Sample, rng: np.random.Generator,
+                prob: float = 0.5) -> Sample:
+    if rng.uniform() < prob:
+        out = dict(sample)
+        out["image"] = sample["image"][:, ::-1]
+        if sample.get("sem_seg") is not None:
+            out["sem_seg"] = sample["sem_seg"][:, ::-1]
+        return out
+    return sample
+
+
+def photometric_distortion(sample: Sample, rng: np.random.Generator,
+                           brightness_delta: int = 32,
+                           contrast_range=(0.5, 1.5),
+                           saturation_range=(0.5, 1.5),
+                           hue_delta: int = 18) -> Sample:
+    """PhotoMetricDistortion (transforms.py:581): random brightness,
+    contrast (random order), saturation, hue — in numpy HSV."""
+    img = sample["image"].astype(np.float32)
+
+    def brightness(x):
+        if rng.integers(2):
+            x = x + float(rng.uniform(-brightness_delta, brightness_delta))
+        return x
+
+    def contrast(x):
+        if rng.integers(2):
+            x = x * float(rng.uniform(*contrast_range))
+        return x
+
+    def rgb_to_hsv(x):
+        import colorsys  # noqa: F401  (vectorized below)
+        x = np.clip(x, 0, 255) / 255.0
+        mx = x.max(-1)
+        mn = x.min(-1)
+        diff = mx - mn + 1e-12
+        r, g, b = x[..., 0], x[..., 1], x[..., 2]
+        h = np.where(
+            mx == r, (g - b) / diff % 6,
+            np.where(mx == g, (b - r) / diff + 2, (r - g) / diff + 4)) * 60
+        s = np.where(mx > 0, diff / (mx + 1e-12), 0.0)
+        return h, s, mx
+
+    def hsv_to_rgb(h, s, v):
+        h = (h % 360) / 60.0
+        c = v * s
+        x = c * (1 - np.abs(h % 2 - 1))
+        m = v - c
+        z = np.zeros_like(c)
+        idx = h.astype(np.int32) % 6
+        r = np.select([idx == 0, idx == 1, idx == 2, idx == 3, idx == 4],
+                      [c, x, z, z, x], default=c)
+        g = np.select([idx == 0, idx == 1, idx == 2, idx == 3, idx == 4],
+                      [x, c, c, x, z], default=z)
+        b = np.select([idx == 0, idx == 1, idx == 2, idx == 3, idx == 4],
+                      [z, z, x, c, c], default=x)
+        return (np.stack([r + m, g + m, b + m], -1) * 255.0)
+
+    img = brightness(img)
+    mode = int(rng.integers(2))
+    if mode == 1:
+        img = contrast(img)
+    if rng.integers(2) or rng.integers(2):
+        h, s, v = rgb_to_hsv(img)
+        if rng.integers(2):
+            s = s * float(rng.uniform(*saturation_range))
+        if rng.integers(2):
+            h = h + float(rng.uniform(-hue_delta, hue_delta))
+        img = hsv_to_rgb(np.clip(h, None, None), np.clip(s, 0, 1),
+                         np.clip(v, 0, 1))
+    if mode == 0:
+        img = contrast(img)
+    out = dict(sample)
+    out["image"] = np.clip(img, 0, 255).astype(np.uint8)
+    return out
+
+
+def pad_to(sample: Sample, size: tuple[int, int], pad_val: int = 0,
+           seg_pad_val: int = 255) -> Sample:
+    """Bottom-right pad image & seg to a static size (mmseg stack_batch)."""
+    img = sample["image"]
+    h, w = img.shape[:2]
+    ph, pw = max(size[0] - h, 0), max(size[1] - w, 0)
+    out = dict(sample)
+    out["image"] = np.pad(img, ((0, ph), (0, pw), (0, 0)),
+                          constant_values=pad_val)
+    if sample.get("sem_seg") is not None:
+        out["sem_seg"] = np.pad(sample["sem_seg"], ((0, ph), (0, pw)),
+                                constant_values=seg_pad_val)
+    out.setdefault("meta", {})
+    out["meta"] = dict(out["meta"], pad_shape=(h, w))
+    return out
+
+
+def train_pipeline(sample: Sample, rng: np.random.Generator,
+                   crop_size=(512, 512)) -> Sample:
+    """The active Spike2Former ADE20K train pipeline."""
+    sample = random_choice_resize(sample, rng)
+    sample = random_crop(sample, rng, crop_size)
+    sample = random_flip(sample, rng)
+    sample = photometric_distortion(sample, rng)
+    sample = pad_to(sample, crop_size)
+    return sample
+
+
+def test_pipeline(sample: Sample, scale=(2048, 512),
+                  pad_to_size: tuple[int, int] | None = None,
+                  size_divisor: int | None = 32) -> Sample:
+    sample = resize_keep_ratio(sample, *scale)
+    h, w = sample["image"].shape[:2]
+    if pad_to_size is None and size_divisor:
+        pad_to_size = (-(-h // size_divisor) * size_divisor,
+                       -(-w // size_divisor) * size_divisor)
+    if pad_to_size is not None:
+        sample = pad_to(sample, pad_to_size)
+    return sample

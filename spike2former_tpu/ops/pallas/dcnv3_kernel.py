@@ -1,0 +1,131 @@
+"""Pallas TPU kernel for DCNv3 deformable bilinear sampling.
+
+This is the TPU-native equivalent of the reference's CUDA im2col kernels
+(ops_dcnv3/src/cuda/dcnv3_im2col_cuda.cuh).  Strategy: one program per
+(batch, group) tile; the group's feature map (~20 KB) lives in VMEM, and
+bilinear sampling is decomposed into two MXU matmuls via one-hot selector
+matrices built on the VPU:
+
+  per kernel point p:
+    R_p[o, u]   = 2-tap row selector (bilinear y-weights x sampling mask)
+    G_p         = R_p @ F                 (F: [H_in, W_in*Cg], c-fastest)
+    Cexp_p[o,j] = 2-tap column selector expanded over channels (j // Cg == v)
+    T          += G_p * Cexp_p
+  out           = T @ Sel                 (Sel[j, c] = 1 iff j % Cg == c)
+
+Out-of-range taps produce all-zero selector rows == grid_sample's zero
+padding.  No gathers, no in-kernel reshapes — everything is iota-compare,
+elementwise math, and two matmuls.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _sampling_kernel(py_ref, px_ref, m_ref, feat_ref, sel_ref, out_ref,
+                     *, num_points: int, h_in: int, w_in: int, cg: int,
+                     acc_dtype):
+    feat = feat_ref[0, 0]          # [H_in, W_in*Cg]
+    wincg = w_in * cg
+    hw_out = py_ref.shape[-1]
+
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (hw_out, h_in), 1)
+    jdiv = jax.lax.broadcasted_iota(jnp.int32, (hw_out, wincg), 1) // cg
+
+    def point_body(p, t_acc):
+        py = py_ref[0, 0, p]       # [HoWo] f32
+        px = px_ref[0, 0, p]
+        m = m_ref[0, 0, p]
+
+        y0f = jnp.floor(py)
+        fy = (py - y0f)[:, None].astype(acc_dtype)
+        y0 = y0f.astype(jnp.int32)[:, None]
+        row = ((iota_u == y0).astype(acc_dtype) * (1.0 - fy)
+               + (iota_u == y0 + 1).astype(acc_dtype) * fy)
+        row = row * m[:, None].astype(acc_dtype)
+
+        g_p = jnp.dot(row.astype(feat.dtype), feat,
+                      preferred_element_type=acc_dtype)
+
+        x0f = jnp.floor(px)
+        fx = (px - x0f)[:, None].astype(acc_dtype)
+        x0 = x0f.astype(jnp.int32)[:, None]
+        cexp = ((jdiv == x0).astype(acc_dtype) * (1.0 - fx)
+                + (jdiv == x0 + 1).astype(acc_dtype) * fx)
+        return t_acc + g_p * cexp
+
+    t_acc = jax.lax.fori_loop(
+        0, num_points, point_body, jnp.zeros((hw_out, wincg), acc_dtype))
+
+    out = jnp.dot(t_acc.astype(feat.dtype), sel_ref[:, :],
+                  preferred_element_type=acc_dtype)
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_points", "h_in", "w_in", "group",
+                     "group_channels"),
+)
+def dcnv3_sample_pallas(
+    feat: jax.Array,   # [N, G, H_in, W_in*Cg] (c-fastest within a column)
+    py: jax.Array,     # [N, G, P, HoWo] fractional pixel y (half-pixel conv.)
+    px: jax.Array,     # [N, G, P, HoWo]
+    mask: jax.Array,   # [N, G, P, HoWo]
+    *,
+    num_points: int,
+    h_in: int,
+    w_in: int,
+    group: int,
+    group_channels: int,
+) -> jax.Array:
+    """Returns [N, G, HoWo, Cg]."""
+    n, g = feat.shape[0], feat.shape[1]
+    hw_out = py.shape[-1]
+    cg = group_channels
+    wincg = w_in * cg
+
+    sel = np.zeros((wincg, cg), np.float32)
+    sel[np.arange(wincg), np.arange(wincg) % cg] = 1.0
+    sel = jnp.asarray(sel, feat.dtype)
+
+    kernel = functools.partial(
+        _sampling_kernel, num_points=num_points, h_in=h_in, w_in=w_in,
+        cg=cg, acc_dtype=jnp.float32)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, g, hw_out, cg), feat.dtype),
+        grid=(n, g),
+        in_specs=[
+            pl.BlockSpec((1, 1, num_points, hw_out),
+                         lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, num_points, hw_out),
+                         lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, num_points, hw_out),
+                         lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h_in, wincg),
+                         lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wincg, cg), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, hw_out, cg),
+                               lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * g * num_points * hw_out * (h_in + cg) * wincg,
+            bytes_accessed=feat.size * 2 + py.size * 4 * 3
+            + n * g * hw_out * cg * 2,
+            transcendentals=0,
+        ),
+    )(py, px, mask, feat, sel)

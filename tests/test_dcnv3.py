@@ -83,3 +83,32 @@ def test_dcnv3_zero_offset_center_identity():
         jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
         group=g, group_channels=gc))
     np.testing.assert_allclose(got, x, atol=1e-5)
+
+
+def test_dcnv3_pallas_interpret_matches_xla():
+    """Pallas sampling kernel (interpret mode on CPU) vs the XLA path."""
+    rng = np.random.default_rng(7)
+    n, h, w, g, gc = 2, 6, 5, 2, 4
+    p = 9
+    x = rng.normal(size=(n, h, w, g * gc)).astype(np.float32)
+    offset = (rng.normal(size=(n, h, w, g * p * 2)) * 1.5).astype(np.float32)
+    mask = rng.uniform(0, 1, size=(n, h, w, g * p)).astype(np.float32)
+
+    want = np.asarray(dcnv3_core(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        group=g, group_channels=gc, impl="xla"))
+
+    import unittest.mock as mock
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        kw.pop("cost_estimate", None)
+        return orig(*args, **kw)
+
+    with mock.patch.object(pl, "pallas_call", interp_call):
+        got = np.asarray(dcnv3_core(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            group=g, group_channels=gc, impl="pallas"))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
