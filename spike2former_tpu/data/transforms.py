@@ -191,8 +191,7 @@ def photometric_distortion(sample: Sample, rng: np.random.Generator,
             s = s * float(rng.uniform(*saturation_range))
         if rng.integers(2):
             h = h + float(rng.uniform(-hue_delta, hue_delta))
-        img = hsv_to_rgb(np.clip(h, None, None), np.clip(s, 0, 1),
-                         np.clip(v, 0, 1))
+        img = hsv_to_rgb(h, np.clip(s, 0, 1), np.clip(v, 0, 1))
     if mode == 0:
         img = contrast(img)
     out = dict(sample)
