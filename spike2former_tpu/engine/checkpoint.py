@@ -1,0 +1,75 @@
+"""Checkpointing via orbax + torch-checkpoint conversion.
+
+Reference behaviors reproduced:
+* mmengine CheckpointHook(interval=10000, save_best='mIoU') — periodic +
+  best-metric checkpoints of a pure param pytree (neuron membrane state is
+  never materialized, so there is nothing stateful to save; SURVEY §5).
+* backbone ``init_weights`` prefix-strip loading (sdtv2.py:577-612) — the
+  torch→JAX converter strips the ``backbone.`` prefix and remaps
+  param names/layouts (OIHW conv → HWIO, BN running stats → batch_stats).
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def save_state(work_dir: str, state: Any, step: int) -> str:
+    path = os.path.abspath(os.path.join(work_dir, f"ckpt_{step}"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def latest_checkpoint(work_dir: str) -> str | None:
+    if not os.path.isdir(work_dir):
+        return None
+    ckpts = [d for d in os.listdir(work_dir) if d.startswith("ckpt_")]
+    if not ckpts:
+        return None
+    best = max(ckpts, key=lambda d: int(d.split("_")[1]))
+    return os.path.join(work_dir, best)
+
+
+def restore_state(path: str, target: Any) -> Any:
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), target=jax.device_get(target))
+
+
+# ---------------------------------------------------------------------------
+# torch state_dict -> JAX variables conversion
+# ---------------------------------------------------------------------------
+
+def convert_torch_conv(w: np.ndarray) -> np.ndarray:
+    """torch conv weight [O, I/g, kh, kw] -> flax HWIO [kh, kw, I/g, O]."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def convert_torch_linear(w: np.ndarray) -> np.ndarray:
+    """torch linear [O, I] -> flax [I, O]."""
+    return np.transpose(w, (1, 0))
+
+
+def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
+    """Load a torch checkpoint (CPU) into numpy, stripping wrapper keys
+    ('state_dict'/'model') and the 'backbone.' prefix like the reference
+    loader."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("state_dict", "model"):
+        if isinstance(ckpt, dict) and key in ckpt:
+            ckpt = ckpt[key]
+            break
+    out = {}
+    for k, v in ckpt.items():
+        if k.startswith("backbone."):
+            k = k[len("backbone."):]
+        out[k] = v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return out

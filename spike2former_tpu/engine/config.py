@@ -1,0 +1,230 @@
+"""Config system: dataclass presets mirroring the reference's shipped
+configs (configs/Spike2Former/*.py, configs/FPN/*.py) with dot-key
+overrides (the ``--cfg-options`` equivalent).
+
+The mmengine registry/Config machinery is intentionally replaced by plain
+dataclasses — models are built directly, overrides are ``key.subkey=value``
+strings, and every preset cites the reference config it reproduces.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, replace
+from typing import Any
+
+import jax.numpy as jnp
+
+
+@dataclass
+class ModelConfig:
+    kind: str = "maskformer"          # 'maskformer' | 'fpn'
+    variant: str = "sdtv2"            # backbone: 'sdtv2' | 'sdtv3'
+    num_classes: int = 150
+    embed_dim: tuple = (64, 128, 256, 360)
+    backbone_heads: int = 8
+    T: int = 1
+    feat_channels: int = 256
+    num_queries: int = 100
+    num_decoder_layers: int = 6
+    num_encoder_layers: int = 6
+    depths_stage3: int = 6
+    depths_stage4: int = 2
+    dcn_group: int = 32
+    neck_channels: int = 256          # fpn only
+    head_channels: int = 128          # fpn only
+    neuron: str = "lif"               # fpn only
+    dtype: str = "float32"
+
+
+@dataclass
+class DataConfig:
+    dataset: str = "ade20k"
+    data_root: str = "data/ade/ADEChallengeData2016"
+    crop_size: tuple = (512, 512)
+    batch_size: int = 6
+    num_workers: int = 8
+    test_scale: tuple = (2048, 512)
+    size_divisor: int = 32
+
+
+@dataclass
+class TrainConfig:
+    base_lr: float = 1e-3
+    weight_decay: float = 0.005
+    backbone_lr_mult: float = 0.1
+    clip_norm: float = 0.01
+    warmup_iters: int = 1500
+    total_iters: int = 160_000
+    val_interval: int = 2500
+    checkpoint_interval: int = 10_000
+    max_gt: int = 160
+    matcher: str = "auction"          # 'auction' (on-device) | 'host' (scipy)
+    seed: int = 0
+
+
+@dataclass
+class TestConfig:
+    mode: str = "whole"               # 'whole' | 'slide'
+    crop_size: tuple = (512, 512)
+    stride: tuple = (341, 341)
+
+
+@dataclass
+class Config:
+    name: str = "custom"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    test: TestConfig = field(default_factory=TestConfig)
+    work_dir: str = "work_dirs"
+
+
+def build_model(cfg: ModelConfig):
+    from ..models.fpn import FPNSegmentor
+    from ..models.segmentor import Spike2Former
+
+    dtype = getattr(jnp, cfg.dtype)
+    if cfg.kind == "fpn":
+        return FPNSegmentor(
+            num_classes=cfg.num_classes, embed_dim=tuple(cfg.embed_dim),
+            backbone_heads=cfg.backbone_heads, T=cfg.T, variant=cfg.variant,
+            neck_channels=cfg.neck_channels, head_channels=cfg.head_channels,
+            neuron=cfg.neuron, depths_stage3=cfg.depths_stage3,
+            depths_stage4=cfg.depths_stage4, dtype=dtype)
+    return Spike2Former(
+        num_classes=cfg.num_classes, embed_dim=tuple(cfg.embed_dim),
+        backbone_heads=cfg.backbone_heads, T=cfg.T, variant=cfg.variant,
+        feat_channels=cfg.feat_channels, num_queries=cfg.num_queries,
+        num_decoder_layers=cfg.num_decoder_layers,
+        num_encoder_layers=cfg.num_encoder_layers,
+        depths_stage3=cfg.depths_stage3, depths_stage4=cfg.depths_stage4,
+        dcn_group=cfg.dcn_group, dtype=dtype)
+
+
+def apply_overrides(cfg: Config, options: list[str]) -> Config:
+    """--cfg-options style dot-key overrides: 'model.T=4'."""
+    import ast
+
+    for opt in options:
+        key, _, raw = opt.partition("=")
+        try:
+            value = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw
+        parts = key.split(".")
+        target = cfg
+        for p in parts[:-1]:
+            target = getattr(target, p)
+        setattr(target, parts[-1], value)
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# Presets — one per shipped reference config.
+# ---------------------------------------------------------------------------
+
+def _ade_spike2former_sdtv2() -> Config:
+    """SDTv2_maskformer_DCNpixelDecoder_ade20k.py — the flagship."""
+    return Config(
+        name="SDTv2_maskformer_DCNpixelDecoder_ade20k",
+        model=ModelConfig(T=1, num_classes=150),
+        data=DataConfig(dataset="ade20k", batch_size=6),
+        test=TestConfig(mode="whole"),
+    )
+
+
+def _cityscapes_spike2former_sdtv2() -> Config:
+    """SDTv2_maskformer_DCNPixelDecoder_CityScapes.py — 512x1024 crops,
+    whole-mode eval with pad-to-divisor (or slide for 1024x1024)."""
+    return Config(
+        name="SDTv2_maskformer_DCNPixelDecoder_CityScapes",
+        model=ModelConfig(T=1, num_classes=19),
+        data=DataConfig(dataset="cityscapes", crop_size=(512, 1024),
+                        data_root="data/cityscapes",
+                        test_scale=(2048, 1024), batch_size=2),
+        test=TestConfig(mode="whole"),
+    )
+
+
+def _voc_spike2former_sdtv2() -> Config:
+    """SDTv2_Spike2former_voc_512x512.py."""
+    return Config(
+        name="SDTv2_Spike2former_voc_512x512",
+        model=ModelConfig(T=1, num_classes=21),
+        data=DataConfig(dataset="voc2012", data_root="data/VOCdevkit/VOC2012",
+                        test_scale=(2048, 512)),
+    )
+
+
+def _cocostuff_spike2former_sdtv2(k: str) -> Config:
+    """SDTv2_maskformer_cocostuff{10k,164k}_512x512.py."""
+    return Config(
+        name=f"SDTv2_maskformer_cocostuff{k}_512x512",
+        model=ModelConfig(T=1, num_classes=171),
+        data=DataConfig(dataset="coco_stuff164k",
+                        data_root="data/coco_stuff164k"),
+    )
+
+
+def _ade_spike2former_sdtv3() -> Config:
+    """SDTv3_b_Spike2former_ade20k_512x512.py — E-SpikeFormer backbone."""
+    return Config(
+        name="SDTv3_b_Spike2former_ade20k_512x512",
+        model=ModelConfig(variant="sdtv3", T=4, num_classes=150),
+        data=DataConfig(dataset="ade20k"),
+    )
+
+
+def _voc_spike2former_sdtv3() -> Config:
+    return Config(
+        name="SDTv3_b_Spike2former_voc_512x512",
+        model=ModelConfig(variant="sdtv3", T=4, num_classes=21),
+        data=DataConfig(dataset="voc2012",
+                        data_root="data/VOCdevkit/VOC2012"),
+    )
+
+
+def _cityscapes_spike2former_sdtv3() -> Config:
+    return Config(
+        name="SDTv3_b_Spike2former_Cityscapes_512x1024",
+        model=ModelConfig(variant="sdtv3", T=4, num_classes=19),
+        data=DataConfig(dataset="cityscapes", crop_size=(512, 1024),
+                        data_root="data/cityscapes",
+                        test_scale=(2048, 1024), batch_size=2),
+    )
+
+
+def _fpn_sdtv3(size: str) -> Config:
+    """fpn_sdtv3_512x512_{10M,19M}_ade20k.py — FPN family."""
+    dims = (32, 64, 128, 192) if size == "10M" else (48, 96, 192, 256)
+    return Config(
+        name=f"fpn_sdtv3_512x512_{size}_ade20k",
+        model=ModelConfig(kind="fpn", variant="sdtv3", T=4, num_classes=150,
+                          embed_dim=dims, neuron="multispike"),
+        data=DataConfig(dataset="ade20k"),
+    )
+
+
+PRESETS: dict[str, Any] = {
+    "SDTv2_maskformer_DCNpixelDecoder_ade20k": _ade_spike2former_sdtv2,
+    "SDTv2_maskformer_DCNPixelDecoder_CityScapes":
+        _cityscapes_spike2former_sdtv2,
+    "SDTv2_Spike2former_voc_512x512": _voc_spike2former_sdtv2,
+    "SDTv2_maskformer_cocostuff10k_512x512":
+        lambda: _cocostuff_spike2former_sdtv2("10k"),
+    "SDTv2_maskformer_cocostuff164k_512x512":
+        lambda: _cocostuff_spike2former_sdtv2("164k"),
+    "SDTv3_b_Spike2former_ade20k_512x512": _ade_spike2former_sdtv3,
+    "SDTv3_b_Spike2former_voc_512x512": _voc_spike2former_sdtv3,
+    "SDTv3_b_Spike2former_Cityscapes_512x1024":
+        _cityscapes_spike2former_sdtv3,
+    "fpn_sdtv3_512x512_10M_ade20k": lambda: _fpn_sdtv3("10M"),
+    "fpn_sdtv3_512x512_19M_ade20k": lambda: _fpn_sdtv3("19M"),
+}
+
+
+def get_config(name: str, overrides: list[str] | None = None) -> Config:
+    cfg = PRESETS[name]()
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+    return cfg

@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Evaluation CLI — the tools/test.py equivalent: run whole/slide inference
+over a val split and report mIoU/mAcc/aAcc."""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--max-images", type=int, default=None)
+    ap.add_argument("--cfg-options", nargs="*", default=[])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spike2former_tpu.data import eval_batches, make_dataset
+    from spike2former_tpu.engine import slide_logits, whole_logits
+    from spike2former_tpu.engine.checkpoint import restore_state
+    from spike2former_tpu.engine.config import build_model, get_config
+    from spike2former_tpu.evaluation import (
+        compute_iou, init_iou, update_iou)
+
+    cfg = get_config(args.config, args.cfg_options)
+    if args.data_root:
+        cfg.data.data_root = args.data_root
+
+    model = build_model(cfg.model)
+    ds = make_dataset(cfg.data.dataset, cfg.data.data_root, "val")
+
+    sample = jnp.zeros((1, *cfg.data.crop_size, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), sample)
+    if args.checkpoint:
+        variables = restore_state(args.checkpoint, variables)
+
+    num_classes = cfg.model.num_classes
+    iou = init_iou(num_classes)
+    n = 0
+    for images, sem, metas in eval_batches(
+            ds, scale=cfg.data.test_scale,
+            size_divisor=cfg.data.size_divisor):
+        if cfg.test.mode == "slide":
+            logits = slide_logits(model, variables, jnp.asarray(images),
+                                  cfg.test.crop_size, cfg.test.stride,
+                                  num_classes)
+        else:
+            logits = whole_logits(model, variables, jnp.asarray(images))
+        pred = jnp.argmax(logits, -1)
+        iou = update_iou(iou, pred, jnp.asarray(sem), num_classes)
+        n += 1
+        if args.max_images and n >= args.max_images:
+            break
+
+    res = compute_iou(iou)
+    print(f"images: {n}")
+    print(f"mIoU {res['mIoU']:.2f}  mAcc {res['mAcc']:.2f}  "
+          f"aAcc {res['aAcc']:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Training CLI — the tools/train.py equivalent.
+
+Usage:
+  python tools/train.py SDTv2_maskformer_DCNpixelDecoder_ade20k \
+      --data-root /data/ade --cfg-options model.T=4 train.total_iters=1000
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config", help="preset name (see engine/config.py)")
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--work-dir", default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--cfg-options", nargs="*", default=[])
+    ap.add_argument("--log-interval", type=int, default=50)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spike2former_tpu.data import TrainLoader, make_dataset
+    from spike2former_tpu.engine import (
+        init_state, make_optimizer, make_train_step)
+    from spike2former_tpu.engine.checkpoint import (
+        latest_checkpoint, restore_state, save_state)
+    from spike2former_tpu.engine.config import build_model, get_config
+    from spike2former_tpu.parallel import make_mesh, replicate, shard_batch
+
+    cfg = get_config(args.config, args.cfg_options)
+    if args.data_root:
+        cfg.data.data_root = args.data_root
+    work_dir = args.work_dir or os.path.join(cfg.work_dir, cfg.name)
+    os.makedirs(work_dir, exist_ok=True)
+
+    model = build_model(cfg.model)
+    ds = make_dataset(cfg.data.dataset, cfg.data.data_root, "train")
+    loader = TrainLoader(ds, cfg.data.batch_size, cfg.data.crop_size,
+                         seed=cfg.train.seed,
+                         num_workers=cfg.data.num_workers)
+
+    sample = jnp.zeros((cfg.data.batch_size, *cfg.data.crop_size, 3),
+                       jnp.float32)
+    params0 = model.init(jax.random.PRNGKey(cfg.train.seed), sample,
+                         True)["params"]
+    tx = make_optimizer(
+        params0, base_lr=cfg.train.base_lr,
+        weight_decay=cfg.train.weight_decay,
+        backbone_lr_mult=cfg.train.backbone_lr_mult,
+        clip_norm=cfg.train.clip_norm,
+        warmup_iters=cfg.train.warmup_iters,
+        total_iters=cfg.train.total_iters)
+    state = init_state(model, tx, jax.random.PRNGKey(cfg.train.seed), sample)
+    start = 0
+    if args.resume:
+        ckpt = latest_checkpoint(work_dir)
+        if ckpt:
+            state = restore_state(ckpt, state)
+            start = int(state.step)
+            print(f"resumed from {ckpt} at step {start}")
+
+    mesh = make_mesh()
+    state = replicate(mesh, state)
+    step_fn = jax.jit(make_train_step(
+        model, tx, num_classes=cfg.model.num_classes,
+        max_gt=cfg.train.max_gt, matcher=cfg.train.matcher))
+
+    t0 = time.time()
+    it = iter(loader)
+    for i in range(start, cfg.train.total_iters):
+        images, sem = next(it)
+        images, sem = shard_batch(mesh, (jnp.asarray(images),
+                                         jnp.asarray(sem)))
+        state, metrics = step_fn(state, images, sem)
+        if (i + 1) % args.log_interval == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            dt = (time.time() - t0) / args.log_interval
+            t0 = time.time()
+            print(f"iter {i+1}/{cfg.train.total_iters} "
+                  f"loss {m['total']:.4f} cls {m['loss_cls']:.4f} "
+                  f"mask {m['loss_mask']:.4f} dice {m['loss_dice']:.4f} "
+                  f"{dt:.3f}s/iter", flush=True)
+        if (i + 1) % cfg.train.checkpoint_interval == 0:
+            save_state(work_dir, state, i + 1)
+    save_state(work_dir, state, cfg.train.total_iters)
+    loader.close()
+
+
+if __name__ == "__main__":
+    main()
