@@ -1,0 +1,62 @@
+"""API / TTA / panoptic / visualization tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spike2former_tpu.evaluation.tta import panoptic_inference, tta_logits
+from spike2former_tpu.evaluation.visualize import (
+    draw_sem_seg, write_cityscapes_pred)
+
+
+def test_tta_flip_consistency():
+    """For a flip-equivariant predictor, TTA must equal the plain
+    prediction."""
+    def predict(x):
+        return jnp.stack([x[..., 0], -x[..., 0]], axis=-1)
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(2, 8, 10, 3)), jnp.float32)
+    plain = predict(imgs)
+    avg = tta_logits(predict, imgs, scales=(1.0,), flip=True)
+    np.testing.assert_allclose(np.asarray(avg), np.asarray(plain),
+                               atol=1e-6)
+
+
+def test_tta_multiscale_shape():
+    def predict(x):
+        return jnp.zeros(x.shape[:3] + (5,))
+
+    imgs = jnp.zeros((1, 16, 16, 3))
+    out = tta_logits(predict, imgs, scales=(0.5, 1.0, 1.5))
+    assert out.shape == (1, 16, 16, 5)
+
+
+def test_panoptic_inference():
+    b, nq, h, w, k = 1, 3, 6, 6, 4
+    cls = jnp.full((b, nq, k + 1), -10.0)
+    cls = cls.at[0, 0, 1].set(10.0)   # query0 -> class1 confident
+    cls = cls.at[0, 1, 3].set(10.0)   # query1 -> class3 confident
+    cls = cls.at[0, 2, k].set(10.0)   # query2 -> background
+    masks = jnp.full((b, nq, h, w), -10.0)
+    masks = masks.at[0, 0, :3].set(10.0)
+    masks = masks.at[0, 1, 3:].set(10.0)
+    sem, inst = panoptic_inference(cls, masks, num_things=4)
+    assert (np.asarray(sem[0, :3]) == 1).all()
+    assert (np.asarray(sem[0, 3:]) == 3).all()
+    assert (np.asarray(inst[0, :3]) == 1).all()
+    assert (np.asarray(inst[0, 3:]) == 2).all()
+
+
+def test_draw_sem_seg_and_cityscapes_writer(tmp_path):
+    img = np.zeros((4, 4, 3), np.uint8)
+    seg = np.asarray([[0, 1, 2, 255]] * 4, np.int32)
+    out = draw_sem_seg(img, seg)
+    assert out.shape == img.shape
+    # ignore pixels keep the source image
+    np.testing.assert_array_equal(out[:, 3], img[:, 3])
+
+    p = write_cityscapes_pred(seg.clip(0, 18).astype(np.int32),
+                              str(tmp_path / "pred.png"))
+    from PIL import Image
+    ids = np.asarray(Image.open(p))
+    assert ids[0, 0] == 7  # road trainId 0 -> labelId 7
