@@ -116,6 +116,75 @@ class DCNPixelDecoder(nn.Module):
         return unfold_t(mask_feature, t), memory, outs[:3]
 
 
+class TransformerEncoderPixelDecoder(nn.Module):
+    """Pixel decoder with a global spiking-MHA transformer encoder on the
+    /16 level (pixel_decoder.py:141-313): 6 x (softmax-free spiking MHA +
+    MSDA_FFN) with sine PE, then bilinear top-down spiking FPN."""
+
+    in_channels: Sequence[int] = (32, 64, 128, 360)
+    feat_channels: int = 256
+    out_channels: int = 256
+    num_encoder_layers: int = 6
+    num_heads: int = 8
+    feedforward_channels: int = 1024
+    spike: str = "qspike"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jax.Array], train: bool = False):
+        from .attention import SpikeMHA
+        from .positional import sine_pe_for_shape
+
+        num_inputs = len(self.in_channels)
+        t, b, h, w, _ = feats[-1].shape
+
+        xf, _ = fold_t(feats[-1])
+        xf = Spike(self.spike, name="in_spike")(xf)
+        xf = ConvBN(self.feat_channels, (1, 1), use_bias=True,
+                    dtype=self.dtype, name="encoder_in_proj")(xf, train)
+        tokens = unfold_t(xf, t).reshape(t, b, h * w, self.feat_channels)
+        pe = sine_pe_for_shape(h, w, self.feat_channels // 2).reshape(
+            h * w, self.feat_channels)
+        pe = jnp.broadcast_to(pe, (b, h * w, self.feat_channels))
+
+        for i in range(self.num_encoder_layers):
+            attn = SpikeMHA(self.feat_channels, self.num_heads, self.spike,
+                            self.dtype, name=f"encoder_attn_{i}")(
+                tokens + pe, tokens + pe, tokens, train=train)
+            tokens = tokens + attn
+            from .attention import MSDAFFN
+            tokens = tokens + MSDAFFN(
+                self.feat_channels, self.feedforward_channels,
+                spike=self.spike, dtype=self.dtype,
+                name=f"encoder_ffn_{i}")(tokens, train)
+
+        memory = tokens.reshape(t, b, h, w, self.feat_channels)
+        yf, _ = fold_t(memory)
+        yf = ConvBN(self.feat_channels, (1, 1), use_bias=True,
+                    dtype=self.dtype, name="encoder_out_proj")(yf, train)
+
+        outs = [unfold_t(yf, t)]
+        y = yf
+        for idx, i in enumerate(range(num_inputs - 2, -1, -1)):
+            lf, _ = fold_t(feats[i])
+            lf = Spike(self.spike, name=f"lateral_spike_{idx}")(lf)
+            cur = ConvBN(self.feat_channels, (1, 1), use_bias=True,
+                         dtype=self.dtype, name=f"lateral_{idx}")(lf, train)
+            y = cur + resize_bilinear(y, cur.shape[1:3])
+            y = Spike(self.spike, name=f"output_spike_{idx}")(y)
+            y = nn.Conv(self.feat_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                        feature_group_count=self.feat_channels, use_bias=False,
+                        dtype=self.dtype, name=f"output_conv_{idx}")(y)
+            y = BatchNorm(use_running_average=not train,
+                          name=f"output_bn_{idx}")(y)
+            outs.append(unfold_t(y, t))
+
+        y = Spike(self.spike, name="mask_spike")(y)
+        mask_feature = nn.Conv(self.out_channels, (1, 1), use_bias=True,
+                               dtype=self.dtype, name="mask_feature")(y)
+        return unfold_t(mask_feature, t), memory, outs[:3]
+
+
 class FPNPixelDecoder(nn.Module):
     """Plain spiking-FPN pixel decoder (pixel_decoder.py:23-138): lateral
     1x1+BN, nearest top-down, 3x3+BN output convs, spiked 1x1 mask head."""

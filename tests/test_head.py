@@ -52,3 +52,30 @@ def test_segmentor_end_to_end_predict():
     assert logits.shape == (1, 64, 64, 10)
     probs = jnp.sum(logits, axis=-1)
     assert bool(jnp.all(probs <= 10.0))
+
+
+def test_transformer_encoder_pixel_decoder():
+    from spike2former_tpu.models.pixel_decoder import (
+        TransformerEncoderPixelDecoder)
+    pd = TransformerEncoderPixelDecoder(
+        in_channels=(8, 16, 24, 32), feat_channels=32, out_channels=32,
+        num_encoder_layers=1, num_heads=4, feedforward_channels=64)
+    feats = [jnp.ones((2, 1, s, s, c)) for s, c in
+             [(16, 8), (8, 16), (4, 24), (2, 32)]]
+    vars_ = pd.init(jax.random.PRNGKey(0), feats)
+    mask_feat, memory, outs = pd.apply(vars_, feats)
+    assert mask_feat.shape == (2, 1, 16, 16, 32)
+    assert memory.shape == (2, 1, 2, 2, 32)
+    assert [o.shape[2] for o in outs] == [2, 4, 8]
+
+
+def test_fpn_segmentor_end_to_end():
+    from spike2former_tpu.models.fpn import FPNSegmentor
+    model = FPNSegmentor(
+        num_classes=7, embed_dim=(8, 16, 24, 32), backbone_heads=4, T=2,
+        neck_channels=16, head_channels=16, neuron="lif",
+        depths_stage3=1, depths_stage4=1)
+    x = jnp.zeros((1, 32, 32, 3))
+    vars_ = model.init(jax.random.PRNGKey(0), x)
+    logits = model.apply(vars_, x, method=model.predict_logits)
+    assert logits.shape == (1, 32, 32, 7)
