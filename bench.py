@@ -19,9 +19,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Same-architecture CPU forward, fp32, batch 1, 512x512, T=4 (measured on
-# this host via tools/cpu_baseline.py; see BENCH_NOTES.md).
-CPU_REF_IMG_PER_SEC = 0.26
+# Same-architecture torch CPU forward, fp32, batch 1, 512x512, T=4
+# (measured on this host via tools/torch_cpu_ref.py: 33.1 s/img; see
+# BENCH_NOTES.md).
+CPU_REF_IMG_PER_SEC = 0.030
 
 
 def main():
