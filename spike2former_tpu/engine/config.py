@@ -57,7 +57,7 @@ class TrainConfig:
     total_iters: int = 160_000
     val_interval: int = 2500
     checkpoint_interval: int = 10_000
-    max_gt: int = 160
+    max_gt: int = 64
     matcher: str = "auction"          # 'auction' (on-device) | 'host' (scipy)
     seed: int = 0
 

@@ -41,7 +41,7 @@ def init_state(model: Spike2Former, tx: optax.GradientTransformation,
 
 
 def make_train_step(model: Spike2Former, tx: optax.GradientTransformation,
-                    num_classes: int, max_gt: int = 160,
+                    num_classes: int, max_gt: int = 64,
                     matcher: str = "auction"):
     """Returns ``train_step(state, images_u8, sem_seg) -> (state, metrics)``.
 

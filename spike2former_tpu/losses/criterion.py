@@ -42,30 +42,49 @@ def semantic_to_instances(sem_seg: jax.Array, num_classes: int,
                           ) -> GroundTruth:
     """Per-class binary masks from a semantic map (the mmseg shim's
     ``_seg_data_to_instance_data``, mmseg maskformer_head.py:84-105), with
-    static shapes: one slot per class id, valid where the class is present.
+    static shapes: the present class ids are compacted into ``max_gt``
+    slots via top-k, so ``max_gt`` only needs to cover the number of
+    *distinct classes per image* (<= ~50 on ADE20K crops), not the class
+    vocabulary.
 
-    sem_seg: [B, H, W] int.  Requires max_gt >= num_classes.
+    sem_seg: [B, H, W] int.
     """
-    assert max_gt >= num_classes
     b, h, w = sem_seg.shape
-    class_ids = jnp.arange(max_gt, dtype=jnp.int32)
-    masks = (sem_seg[:, None, :, :] == class_ids[None, :, None, None])
-    present = jnp.any(masks, axis=(2, 3)) & (class_ids < num_classes)[None]
+    class_ids = jnp.arange(num_classes, dtype=jnp.int32)
+    onehot = (sem_seg[:, None, :, :] == class_ids[None, :, None, None])
+    present = jnp.any(onehot, axis=(2, 3))  # [B, K]
+
+    k = min(max_gt, num_classes)
+    # deterministic selection: present classes first, ordered by class id
+    score = jnp.where(present,
+                      (num_classes - class_ids).astype(jnp.float32)[None],
+                      0.0)
+    _, sel = jax.lax.top_k(score, k)  # [B, k] class ids (present first)
+    sel = sel.astype(jnp.int32)
+    valid = jnp.take_along_axis(present, sel, axis=1)
+    masks = (sem_seg[:, None, :, :] == sel[:, :, None, None])
     return GroundTruth(
-        labels=jnp.broadcast_to(class_ids, (b, max_gt)),
+        labels=sel,
         masks=masks.astype(jnp.float32),
-        valid=present,
+        valid=valid,
     )
 
 
 def _layer_loss(cls_scores, mask_preds, gt: GroundTruth, *,
                 num_classes: int, class_weight, matcher: str,
                 focal_weight: float, dice_weight: float,
-                num_total_masks) -> dict[str, jax.Array]:
+                num_total_masks, loss_at: str = "pred"
+                ) -> dict[str, jax.Array]:
     """Loss for one decoder layer.
 
     cls_scores [B, nq, K+1]; mask_preds [B, nq, h, w] (mask resolution);
     gt masks at full GT resolution [B, G, H, W].
+
+    ``loss_at='gt'`` reproduces the reference exactly (predictions
+    bilinearly upsampled to GT resolution, :475-479); ``'pred'`` (default)
+    computes mask losses at prediction resolution with nearest-downsampled
+    GT — numerically near-identical gradients at ~4x less HBM, the same
+    trade Mask2Former makes with point sampling.
     """
     b, nq = cls_scores.shape[:2]
     g = gt.labels.shape[1]
@@ -95,22 +114,30 @@ def _layer_loss(cls_scores, mask_preds, gt: GroundTruth, *,
     loss_cls = weighted_cross_entropy(
         cls_scores.reshape(b * nq, -1), labels.reshape(-1), class_weight)
 
-    # ---- mask losses on matched pairs, upsampled to GT resolution ----
+    # ---- mask losses on matched pairs ----
     pred_at_gt = jax.vmap(
         lambda mp, q: mp[q])(mask_preds, safe_q)  # [B, G, h, w]
-    pred_up = resize_bilinear(
-        pred_at_gt[..., None], (gh, gw))[..., 0]  # [B, G, gh, gw]
     pair_w = (gt.valid & (matched_q >= 0)).astype(jnp.float32)  # [B, G]
 
+    if loss_at == "gt":
+        pred_m = resize_bilinear(
+            pred_at_gt[..., None], (gh, gw))[..., 0]  # [B, G, gh, gw]
+        tgt_m = gt.masks
+        lh, lw = gh, gw
+    else:
+        pred_m = pred_at_gt
+        tgt_m = gt_ds
+        lh, lw = h, w
+
     loss_dice = dice_loss(
-        pred_up.reshape(b * g, gh, gw), gt.masks.reshape(b * g, gh, gw),
+        pred_m.reshape(b * g, lh, lw), tgt_m.reshape(b * g, lh, lw),
         weight=pair_w.reshape(-1), eps=1.0, naive=True, activate=True,
         avg_factor=num_total_masks)
 
     loss_focal = sigmoid_focal_loss(
-        pred_up, 1.0 - gt.masks,  # complement target (:493-494)
+        pred_m, 1.0 - tgt_m,  # complement target (:493-494)
         weight=pair_w[..., None, None],
-        avg_factor=num_total_masks * gh * gw)
+        avg_factor=num_total_masks * lh * lw)
 
     return dict(loss_cls=loss_cls, loss_mask=loss_focal * 20.0,
                 loss_dice=loss_dice)
@@ -126,6 +153,7 @@ def maskformer_loss(
     focal_weight: float = 20.0,
     dice_weight: float = 1.0,
     matcher: str = "host",
+    loss_at: str = "pred",
 ) -> dict[str, jax.Array]:
     """Deep-supervised loss over all decoder layers (loss_by_feat :367-408).
 
@@ -146,7 +174,7 @@ def maskformer_loss(
         _layer_loss, gt=gt, num_classes=num_classes,
         class_weight=class_weight, matcher=matcher,
         focal_weight=focal_weight, dice_weight=dice_weight,
-        num_total_masks=num_total)
+        num_total_masks=num_total, loss_at=loss_at)
 
     num_layers = all_cls_scores.shape[0]
     losses: dict[str, jax.Array] = {}

@@ -150,7 +150,7 @@ def dcnv3_core(
     mask = mask.reshape(n, hw_out, group, p)
 
     if _use_pallas(impl):
-        from .pallas.dcnv3_kernel import dcnv3_sample_pallas
+        from .pallas.dcnv3_kernel import dcnv3_sample_pallas_t
 
         feat = xp.reshape(n, h_in, w_in, group, cg)
         feat = feat.transpose(0, 3, 1, 2, 4).reshape(
@@ -158,10 +158,10 @@ def dcnv3_core(
         py_t = py.transpose(0, 2, 3, 1).astype(jnp.float32)  # [N,G,P,HoWo]
         px_t = px.transpose(0, 2, 3, 1).astype(jnp.float32)
         m_t = mask.transpose(0, 2, 3, 1).astype(jnp.float32)
-        out = dcnv3_sample_pallas(
+        out = dcnv3_sample_pallas_t(
             feat, py_t, px_t, m_t, num_points=p, h_in=h_in, w_in=w_in,
-            group=group, group_channels=cg)  # [N, G, HoWo, Cg]
-        out = out.transpose(0, 2, 1, 3).reshape(
+            group=group, group_channels=cg)  # [N, G, Cg, HoWo]
+        out = out.transpose(0, 3, 1, 2).reshape(
             n, h_out, w_out, group * cg)
         return out
 

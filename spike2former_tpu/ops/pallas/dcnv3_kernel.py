@@ -68,6 +68,119 @@ def _sampling_kernel(py_ref, px_ref, m_ref, feat_ref, sel_ref, out_ref,
     out_ref[0, 0] = out.astype(out_ref.dtype)
 
 
+def _sampling_kernel_t(py_ref, px_ref, m_ref, feat_ref, expand_ref, sel_ref,
+                       out_ref, *, num_points: int, h_in: int, w_in: int,
+                       cg: int, acc_dtype):
+    """Transposed-layout variant: every VPU tensor keeps the long HoWo axis
+    in lanes (128-wide) so selector builds waste nothing, and the
+    column-selector expansion over channels runs on the MXU
+    (Cexp^T = Expand^T @ C_small^T).
+
+    feat_ref block: [1, 1, W_in*Cg, H_in] (c-fastest rows, transposed).
+    out block:      [1, 1, Cg, HoWo].
+    """
+    feat_t = feat_ref[0, 0]            # [WinCg, Hin]
+    hw_out = py_ref.shape[-1]
+    wincg = w_in * cg
+
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (h_in, hw_out), 0)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (w_in, hw_out), 0)
+
+    def point_body(p, t_acc):
+        py = py_ref[0, 0, p][None, :]   # [1, HoWo]
+        px = px_ref[0, 0, p][None, :]
+        m = m_ref[0, 0, p][None, :]
+
+        y0f = jnp.floor(py)
+        fy = (py - y0f).astype(acc_dtype)
+        y0 = y0f.astype(jnp.int32)
+        row_t = ((iota_u == y0).astype(acc_dtype) * (1.0 - fy)
+                 + (iota_u == y0 + 1).astype(acc_dtype) * fy)
+        row_t = row_t * m.astype(acc_dtype)          # [Hin, HoWo]
+
+        g_t = jnp.dot(feat_t, row_t.astype(feat_t.dtype),
+                      preferred_element_type=acc_dtype)  # [WinCg, HoWo]
+
+        x0f = jnp.floor(px)
+        fx = (px - x0f).astype(acc_dtype)
+        x0 = x0f.astype(jnp.int32)
+        col_t = ((iota_v == x0).astype(acc_dtype) * (1.0 - fx)
+                 + (iota_v == x0 + 1).astype(acc_dtype) * fx)  # [Win, HoWo]
+        cexp_t = jnp.dot(expand_ref[:, :], col_t.astype(expand_ref.dtype),
+                         preferred_element_type=acc_dtype)  # [WinCg, HoWo]
+        return t_acc + g_t * cexp_t
+
+    t_acc = jax.lax.fori_loop(
+        0, num_points, point_body, jnp.zeros((wincg, hw_out), acc_dtype))
+    out = jnp.dot(sel_ref[:, :], t_acc.astype(sel_ref.dtype),
+                  preferred_element_type=acc_dtype)  # [Cg, HoWo]
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_points", "h_in", "w_in", "group",
+                     "group_channels"),
+)
+def dcnv3_sample_pallas_t(
+    feat: jax.Array,   # [N, G, H_in, W_in*Cg] (c-fastest within a column)
+    py: jax.Array,     # [N, G, P, HoWo]
+    px: jax.Array,
+    mask: jax.Array,
+    *,
+    num_points: int,
+    h_in: int,
+    w_in: int,
+    group: int,
+    group_channels: int,
+) -> jax.Array:
+    """Transposed-layout sampler.  Returns [N, G, Cg, HoWo]."""
+    n, g = feat.shape[0], feat.shape[1]
+    hw_out = py.shape[-1]
+    cg = group_channels
+    wincg = w_in * cg
+
+    feat_t = jnp.swapaxes(feat, -1, -2)  # [N, G, WinCg, Hin]
+
+    expand = np.zeros((wincg, w_in), np.float32)
+    expand[np.arange(wincg), np.arange(wincg) // cg] = 1.0
+    expand = jnp.asarray(expand, feat.dtype)
+    sel = np.zeros((cg, wincg), np.float32)
+    sel[np.arange(wincg) % cg, np.arange(wincg)] = 1.0
+    sel = jnp.asarray(sel, feat.dtype)
+
+    kernel = functools.partial(
+        _sampling_kernel_t, num_points=num_points, h_in=h_in, w_in=w_in,
+        cg=cg, acc_dtype=jnp.float32)
+
+    coord_spec = pl.BlockSpec((1, 1, num_points, hw_out),
+                              lambda i, j: (i, j, 0, 0),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, g, cg, hw_out), feat.dtype),
+        grid=(n, g),
+        in_specs=[
+            coord_spec, coord_spec, coord_spec,
+            pl.BlockSpec((1, 1, wincg, h_in), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wincg, w_in), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cg, wincg), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, cg, hw_out),
+                               lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * g * num_points * hw_out * h_in * wincg,
+            bytes_accessed=feat.size * 2 + py.size * 4 * 3
+            + n * g * hw_out * cg * 2,
+            transcendentals=0,
+        ),
+    )(py, px, mask, feat_t, expand, sel)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_points", "h_in", "w_in", "group",

@@ -105,11 +105,13 @@ def test_semantic_to_instances():
     sem = np.full((1, 8, 8), 255, np.int32)
     sem[0, :4] = 2
     sem[0, 4:] = 7
-    gt = semantic_to_instances(jnp.asarray(sem), num_classes=10, max_gt=12)
+    gt = semantic_to_instances(jnp.asarray(sem), num_classes=10, max_gt=5)
     valid = np.asarray(gt.valid[0])
-    assert valid[2] and valid[7] and valid.sum() == 2
-    np.testing.assert_allclose(
-        np.asarray(gt.masks[0, 2]).sum(), 32)
+    labels = np.asarray(gt.labels[0])
+    present = sorted(labels[valid])
+    assert present == [2, 7] and valid.sum() == 2
+    slot2 = int(np.where(labels == 2)[0][0])
+    np.testing.assert_allclose(np.asarray(gt.masks[0, slot2]).sum(), 32)
 
 
 def test_maskformer_loss_end_to_end():
