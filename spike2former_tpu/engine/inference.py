@@ -31,45 +31,56 @@ def whole_logits(model: Spike2Former, variables, images_u8: jax.Array
 
 def slide_logits(model: Spike2Former, variables, images_u8: jax.Array,
                  crop_size: tuple[int, int], stride: tuple[int, int],
-                 num_classes: int) -> jax.Array:
+                 num_classes: int, window_batch: int | None = None
+                 ) -> jax.Array:
     """Sliding-window logits with overlap averaging
     (encoder_decoder.py:246-297).
 
-    Window positions follow the reference exactly: steps of ``stride``,
-    clamped so the final window touches the image edge.
+    Window positions follow the reference exactly (steps of ``stride``,
+    clamped so the final window touches the image edge) — but all windows
+    are *stacked into one batch* and run through a single forward (chunked
+    by ``window_batch``), instead of the reference's Python loop of
+    per-crop forwards: one compilation, full MXU batch efficiency, no
+    per-window host sync.
     """
     b, h, w, _ = images_u8.shape
-    ch, cw = crop_size
+    ch, cw = min(crop_size[0], h), min(crop_size[1], w)
     sh, sw = stride
     x = preprocess(images_u8)
 
-    h_grids = max((h - ch + sh - 1) // sh, 0) + 1
-    w_grids = max((w - cw + sw - 1) // sw, 0) + 1
+    h_grids = max(h - ch + sh - 1, 0) // sh + 1
+    w_grids = max(w - cw + sw - 1, 0) // sw + 1
+    origins = [(min(hi * sh, max(h - ch, 0)), min(wi * sw, max(w - cw, 0)))
+               for hi in range(h_grids) for wi in range(w_grids)]
+
+    crops = jnp.stack(
+        [jax.lax.dynamic_slice(x, (0, y1, x1, 0), (b, ch, cw, 3))
+         for (y1, x1) in origins], axis=0)  # [W, B, ch, cw, 3]
+    crops = crops.reshape(-1, ch, cw, 3)
+
+    fwd = jax.jit(functools.partial(
+        model.apply, variables, method=Spike2Former.predict_logits))
+    nw = len(origins)
+    wb = window_batch or max(8 // b, 1) * b
+    total = nw * b
+    pad = (-total) % wb
+    if pad:
+        crops = jnp.concatenate(
+            [crops, jnp.zeros((pad, ch, cw, 3), crops.dtype)], axis=0)
+    chunks = [fwd(crops[i:i + wb]) for i in range(0, total + pad, wb)]
+    logits = jnp.concatenate(chunks, axis=0)[:total].reshape(
+        nw, b, ch, cw, num_classes)
 
     preds = jnp.zeros((b, h, w, num_classes), jnp.float32)
     count = jnp.zeros((b, h, w, 1), jnp.float32)
-
-    fwd = functools.partial(
-        model.apply, variables, method=Spike2Former.predict_logits)
-
-    for hi in range(h_grids):
-        for wi in range(w_grids):
-            y1 = min(hi * sh, max(h - ch, 0))
-            x1 = min(wi * sw, max(w - cw, 0))
-            crop = jax.lax.dynamic_slice(
-                x, (0, y1, x1, 0), (b, min(ch, h), min(cw, w), 3))
-            logits = fwd(crop)
-            preds = jax.lax.dynamic_update_slice(
-                preds,
-                jax.lax.dynamic_slice(
-                    preds, (0, y1, x1, 0),
-                    logits.shape) + logits,
-                (0, y1, x1, 0))
-            count = jax.lax.dynamic_update_slice(
-                count,
-                jax.lax.dynamic_slice(count, (0, y1, x1, 0),
-                                      logits.shape[:3] + (1,)) + 1.0,
-                (0, y1, x1, 0))
+    for wi, (y1, x1) in enumerate(origins):
+        patch = jax.lax.dynamic_slice(
+            preds, (0, y1, x1, 0), (b, ch, cw, num_classes))
+        preds = jax.lax.dynamic_update_slice(
+            preds, patch + logits[wi].astype(jnp.float32), (0, y1, x1, 0))
+        cpatch = jax.lax.dynamic_slice(count, (0, y1, x1, 0), (b, ch, cw, 1))
+        count = jax.lax.dynamic_update_slice(
+            count, cpatch + 1.0, (0, y1, x1, 0))
     return preds / jnp.maximum(count, 1.0)
 
 

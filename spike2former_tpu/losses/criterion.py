@@ -177,13 +177,27 @@ def maskformer_loss(
         num_total_masks=num_total, loss_at=loss_at)
 
     num_layers = all_cls_scores.shape[0]
+    # One scan over decoder layers: the matching/loss body (incl. the
+    # auction while-loops) is traced and compiled ONCE instead of L times —
+    # same math as the reference's multi_apply over layers (:391-393).
+    if matcher == "host":
+        per_layer = [layer_fn(all_cls_scores[i], all_mask_preds[i])
+                     for i in range(num_layers)]
+        stacked = {k: jnp.stack([d[k] for d in per_layer])
+                   for k in per_layer[0]}
+    else:
+        def body(_, inputs):
+            cls_l, mask_l = inputs
+            li = layer_fn(cls_l, mask_l)
+            return None, li
+
+        _, stacked = jax.lax.scan(
+            body, None, (all_cls_scores, all_mask_preds))
+
     losses: dict[str, jax.Array] = {}
-    for i in range(num_layers):
-        li = layer_fn(all_cls_scores[i], all_mask_preds[i])
-        if i == num_layers - 1:
-            losses.update(li)
-        else:
-            losses.update({f"d{i}.{k}": v for k, v in li.items()})
-    losses["total"] = sum(
-        v for k, v in losses.items() if k != "total")
+    for k in ("loss_cls", "loss_mask", "loss_dice"):
+        losses[k] = stacked[k][-1]
+        for i in range(num_layers - 1):
+            losses[f"d{i}.{k}"] = stacked[k][i]
+    losses["total"] = sum(jnp.sum(v) for v in stacked.values())
     return losses

@@ -1,0 +1,98 @@
+"""Encoders, temporal BN, optimizer groups, checkpoint round-trip."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spike2former_tpu.ops.encoding import (
+    latency_encode, poisson_encode, repeat_encode)
+from spike2former_tpu.models.tebn import TEBN, TDBN
+
+
+def test_poisson_rate():
+    x = jnp.full((1000,), 0.3)
+    s = poisson_encode(x, 64, jax.random.PRNGKey(0))
+    assert abs(float(s.mean()) - 0.3) < 0.02
+    assert set(np.unique(np.asarray(s))) <= {0.0, 1.0}
+
+
+def test_latency_single_spike():
+    x = jnp.asarray([0.0, 0.5, 1.0])
+    s = latency_encode(x, 5)
+    np.testing.assert_array_equal(np.asarray(s.sum(0)), [1, 1, 1])
+    assert float(s[0, 2]) == 1.0  # strongest spikes first
+    assert float(s[4, 0]) == 1.0  # weakest spikes last
+
+
+def test_repeat_encode():
+    x = jnp.ones((2, 3))
+    s = repeat_encode(x, 4)
+    assert s.shape == (4, 2, 3) and float(s.mean()) == 1.0
+
+
+def test_tebn_tdbn_shapes():
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 2, 8, 8, 16))
+    for mod in (TEBN(T=4), TDBN(v_threshold=1.0)):
+        v = mod.init(jax.random.PRNGKey(0), x)
+        y = mod.apply(v, x)
+        assert y.shape == x.shape
+
+
+def test_optimizer_param_groups():
+    import optax
+
+    from spike2former_tpu.engine.optim import make_optimizer
+
+    params = {
+        "backbone": {"conv": {"kernel": jnp.ones((4,))}},
+        "head": {"query_embed": jnp.ones((4,)),
+                 "dense": {"kernel": jnp.ones((4,))}},
+    }
+    tx = make_optimizer(params, base_lr=1.0, warmup_iters=0, total_iters=10,
+                        clip_norm=1e9)
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    # backbone lr is 0.1x default group lr
+    bb = float(updates["backbone"]["conv"]["kernel"][0])
+    hd = float(updates["head"]["dense"]["kernel"][0])
+    assert abs(bb / hd - 0.1) < 1e-5
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from spike2former_tpu.engine.checkpoint import (
+        latest_checkpoint, restore_state, save_state)
+
+    state = {"params": {"w": jnp.arange(4.0)}, "step": jnp.asarray(7)}
+    save_state(str(tmp_path), state, 7)
+    path = latest_checkpoint(str(tmp_path))
+    assert path and path.endswith("ckpt_7")
+    restored = restore_state(path, state)
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  [0, 1, 2, 3])
+
+
+def test_torch_conv_conversion():
+    import torch
+
+    from spike2former_tpu.engine.checkpoint import (
+        convert_torch_conv, convert_torch_linear)
+
+    w = np.random.default_rng(0).normal(size=(8, 4, 3, 3)).astype(np.float32)
+    x = np.random.default_rng(1).normal(size=(1, 4, 8, 8)).astype(np.float32)
+    want = torch.nn.functional.conv2d(
+        torch.from_numpy(x), torch.from_numpy(w), padding=1).numpy()
+
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    conv = nn.Conv(8, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False)
+    variables = {"params": {"kernel": jnp.asarray(convert_torch_conv(w))}}
+    got = conv.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        got.transpose(0, 3, 1, 2), want, atol=1e-4, rtol=1e-4)
+
+    wl = np.random.default_rng(2).normal(size=(6, 4)).astype(np.float32)
+    xl = np.random.default_rng(3).normal(size=(2, 4)).astype(np.float32)
+    want = xl @ wl.T
+    got = jnp.asarray(xl) @ jnp.asarray(convert_torch_linear(wl))
+    np.testing.assert_allclose(got, want, atol=1e-5)
