@@ -145,11 +145,17 @@ class SpikingMetaFormer(nn.Module):
     variant: str = "sdtv2"
     depths_stage3: int = 6
     depths_stage4: int = 2
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, images: jax.Array, train: bool = False):
         """images: [B, H, W, 3] -> list of 4 pyramid levels [T,B,h,w,c]."""
+        # Optional rematerialization (jax.checkpoint) per block: trades
+        # recompute for activation memory during training (the AvoidCUDAOOM
+        # role of mmdet/utils/memory.py, done the XLA way).
+        Conv = nn.remat(MSConvBlock) if self.remat else MSConvBlock
+        Block = nn.remat(MSBlock) if self.remat else MSBlock
         v3 = self.variant == "sdtv3"
         spike = "multispike_norm" if v3 else "qspike"
         conv_kw = dict(
@@ -169,24 +175,24 @@ class SpikingMetaFormer(nn.Module):
         x = DownSampling(e[0] // 2, kernel=7, stride=2, padding=3,
                          first_layer=True, spike=spike, dtype=self.dtype,
                          name="down1_1")(x, train)
-        x = MSConvBlock(e[0] // 2, name="conv1_1", **conv_kw)(x, train)
+        x = Conv(e[0] // 2, name="conv1_1", **conv_kw)(x, train)
         x1 = x
         x = DownSampling(e[0], spike=spike, dtype=self.dtype,
                          name="down1_2")(x, train)
-        x = MSConvBlock(e[0], name="conv1_2", **conv_kw)(x, train)
+        x = Conv(e[0], name="conv1_2", **conv_kw)(x, train)
         x2 = x
         x = DownSampling(e[1], spike=spike, dtype=self.dtype,
                          name="down2")(x, train)
-        x = MSConvBlock(e[1], name="conv2_1", **conv_kw)(x, train)
-        x = MSConvBlock(e[1], name="conv2_2", **conv_kw)(x, train)
+        x = Conv(e[1], name="conv2_1", **conv_kw)(x, train)
+        x = Conv(e[1], name="conv2_2", **conv_kw)(x, train)
         x3 = x
         x = DownSampling(e[2], spike=spike, dtype=self.dtype,
                          name="down3")(x, train)
         for i in range(self.depths_stage3):
-            x = MSBlock(e[2], name=f"block3_{i}", **block_kw)(x, train)
+            x = Block(e[2], name=f"block3_{i}", **block_kw)(x, train)
         x = DownSampling(e[3], stride=1, spike=spike, dtype=self.dtype,
                          name="down4")(x, train)
         for i in range(self.depths_stage4):
-            x = MSBlock(e[3], name=f"block4_{i}", **block_kw)(x, train)
+            x = Block(e[3], name=f"block4_{i}", **block_kw)(x, train)
         x4 = x
         return [x1, x2, x3, x4]

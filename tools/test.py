@@ -14,10 +14,16 @@ def main():
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--data-root", default=None)
     ap.add_argument("--max-images", type=int, default=None)
+    ap.add_argument("--show-dir", default=None,
+                    help="write prediction overlays (SegVisualizationHook)")
     ap.add_argument("--cfg-options", nargs="*", default=[])
+    ap.add_argument("--device", default=None)
     args = ap.parse_args()
 
     import jax
+
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
     import jax.numpy as jnp
     import numpy as np
 
@@ -54,6 +60,18 @@ def main():
             logits = whole_logits(model, variables, jnp.asarray(images))
         pred = jnp.argmax(logits, -1)
         iou = update_iou(iou, pred, jnp.asarray(sem), num_classes)
+        if args.show_dir:
+            import os as _os
+
+            from PIL import Image
+
+            from spike2former_tpu.evaluation.visualize import draw_sem_seg
+
+            _os.makedirs(args.show_dir, exist_ok=True)
+            overlay = draw_sem_seg(images[0].astype(np.uint8),
+                                   np.asarray(pred[0], np.int32))
+            Image.fromarray(overlay).save(
+                _os.path.join(args.show_dir, f"pred_{n:05d}.png"))
         n += 1
         if args.max_images and n >= args.max_images:
             break

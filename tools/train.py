@@ -22,9 +22,15 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--cfg-options", nargs="*", default=[])
     ap.add_argument("--log-interval", type=int, default=50)
+    ap.add_argument("--device", default=None,
+                    help="force backend, e.g. cpu (the axon sitecustomize "
+                         "pins JAX_PLATFORMS, so env vars alone don't work)")
     args = ap.parse_args()
 
     import jax
+
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
     import jax.numpy as jnp
     import numpy as np
 
