@@ -1,0 +1,292 @@
+"""Module-level numerical parity vs independently-written torch equivalents.
+
+SURVEY §7 flags "exact quantized-neuron semantics" and the conv-BN-spike
+wiring as silent-mIoU-killers.  Each test here builds the flax module,
+mirrors its parameters into a freshly written torch module implementing the
+reference semantics, and compares outputs in eval mode (randomized BN
+running stats so the statistics path is exercised too).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from spike2former_tpu.models.attention import MSDAFFN, SpikeMHA, TokenConvBN
+from spike2former_tpu.models.layers import (
+    BNAndPad, ConvBN, MSMLP, RepConv, SepConv)
+from spike2former_tpu.models.sdtv2 import SpikeAttention
+
+RNG = np.random.default_rng(0)
+
+
+def q8(x):
+    return torch.round(torch.clamp(x, 0, 8)) / 8
+
+
+def f2t_conv(k):
+    return torch.from_numpy(np.transpose(np.asarray(k), (3, 2, 0, 1)).copy())
+
+
+def rand_bn_stats(shape_c):
+    return (RNG.normal(0, 0.3, shape_c).astype(np.float32),
+            RNG.uniform(0.5, 2.0, shape_c).astype(np.float32),
+            RNG.normal(0, 0.2, shape_c).astype(np.float32),
+            RNG.uniform(0.5, 1.5, shape_c).astype(np.float32))
+
+
+def set_bn(tbn, stats_tree, params_tree):
+    """Copy flax BatchNorm vars into a torch BN (eval)."""
+    tbn.running_mean.data = torch.from_numpy(np.asarray(stats_tree["mean"]))
+    tbn.running_var.data = torch.from_numpy(np.asarray(stats_tree["var"]))
+    tbn.weight.data = torch.from_numpy(np.asarray(params_tree["scale"]))
+    tbn.bias.data = torch.from_numpy(np.asarray(params_tree["bias"]))
+    tbn.eval()
+
+
+def randomize_variables(variables, key=1):
+    """Replace init params/stats with random values (keeps structure)."""
+    rng = np.random.default_rng(key)
+
+    def rnd(path, x):
+        name = getattr(path[-1], "key", "")
+        x = np.asarray(x)
+        if name == "var":
+            return jnp.asarray(rng.uniform(0.5, 2.0, x.shape), jnp.float32)
+        return jnp.asarray(rng.normal(0, 0.3, x.shape), jnp.float32)
+
+    return jax.tree_util.tree_map_with_path(rnd, jax.device_get(variables))
+
+
+def bn_from(vars_, pfx_params, pfx_stats, torch_bn):
+    set_bn(torch_bn, pfx_stats, pfx_params)
+
+
+def test_bn_and_pad_parity():
+    c = 6
+    mod = BNAndPad(pad_pixels=1)
+    x = RNG.normal(0, 1, (2, 5, 7, c)).astype(np.float32)
+    vars_ = randomize_variables(mod.init(jax.random.PRNGKey(0), x))
+    got = np.asarray(mod.apply(vars_, jnp.asarray(x)))
+
+    p = vars_["params"]
+    s = vars_["batch_stats"]
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    bn = nn.BatchNorm2d(c)
+    set_bn(bn, s, p)
+    y = bn(xt)
+    pad_val = (bn.bias - bn.running_mean * bn.weight /
+               torch.sqrt(bn.running_var + bn.eps)).view(1, -1, 1, 1)
+    y = F.pad(y, [1, 1, 1, 1])
+    y[:, :, :1] = pad_val
+    y[:, :, -1:] = pad_val
+    y[:, :, :, :1] = pad_val
+    y[:, :, :, -1:] = pad_val
+    want = y.detach().numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+class TorchRepConv(nn.Module):
+    def __init__(self, c_in, c_out):
+        super().__init__()
+        self.c1 = nn.Conv2d(c_in, c_in, 1, bias=False)
+        self.bn_pad = nn.BatchNorm2d(c_in)
+        self.dw = nn.Conv2d(c_in, c_in, 3, padding=0, groups=c_in, bias=False)
+        self.pw = nn.Conv2d(c_in, c_out, 1, bias=False)
+        self.bn = nn.BatchNorm2d(c_out)
+
+    def forward(self, x):
+        y = self.bn_pad(self.c1(x))
+        pad_val = (self.bn_pad.bias - self.bn_pad.running_mean *
+                   self.bn_pad.weight /
+                   torch.sqrt(self.bn_pad.running_var + self.bn_pad.eps)
+                   ).view(1, -1, 1, 1)
+        y = F.pad(y, [1, 1, 1, 1])
+        y[:, :, :1] = pad_val
+        y[:, :, -1:] = pad_val
+        y[:, :, :, :1] = pad_val
+        y[:, :, :, -1:] = pad_val
+        return self.bn(self.pw(self.dw(y)))
+
+
+def test_repconv_parity():
+    c_in, c_out = 6, 8
+    mod = RepConv(c_out)
+    x = RNG.normal(0, 1, (2, 6, 6, c_in)).astype(np.float32)
+    vars_ = randomize_variables(mod.init(jax.random.PRNGKey(0), x))
+    got = np.asarray(mod.apply(vars_, jnp.asarray(x)))
+
+    p, s = vars_["params"], vars_["batch_stats"]
+    t = TorchRepConv(c_in, c_out).eval()
+    t.c1.weight.data = f2t_conv(p["Conv_0"]["kernel"])
+    set_bn(t.bn_pad, s["BNAndPad_0"], p["BNAndPad_0"])
+    t.dw.weight.data = f2t_conv(p["Conv_1"]["kernel"])
+    t.pw.weight.data = f2t_conv(p["Conv_2"]["kernel"])
+    set_bn(t.bn, s["BatchNorm_0"]["BatchNorm_0"],
+           p["BatchNorm_0"]["BatchNorm_0"])
+    with torch.no_grad():
+        want = t(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1),
+                               atol=3e-5, rtol=1e-4)
+
+
+class TorchSepConv(nn.Module):
+    """sdtv2 SepConv: spike→pw→BN→spike→dw(7x7)→pw→BN (no BN after dw)."""
+
+    def __init__(self, dim, e=2, k=7, p=3):
+        super().__init__()
+        m = dim * e
+        self.pw1 = nn.Conv2d(dim, m, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(m)
+        self.dw = nn.Conv2d(m, m, k, padding=p, groups=m, bias=False)
+        self.pw2 = nn.Conv2d(m, dim, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(dim)
+
+    def forward(self, x):
+        x = q8(x)
+        x = self.bn1(self.pw1(x))
+        x = q8(x)
+        x = self.dw(x)
+        return self.bn2(self.pw2(x))
+
+
+def test_sepconv_parity():
+    dim = 8
+    mod = SepConv(dim)  # 2 spikes, no dw BN
+    x = RNG.normal(0, 2, (2, 1, 9, 9, dim)).astype(np.float32)
+    vars_ = randomize_variables(mod.init(jax.random.PRNGKey(0), x))
+    got = np.asarray(mod.apply(vars_, jnp.asarray(x)))
+
+    p, s = vars_["params"], vars_["batch_stats"]
+    t = TorchSepConv(dim).eval()
+    t.pw1.weight.data = f2t_conv(p["ConvBN_0"]["Conv_0"]["kernel"])
+    set_bn(t.bn1, s["ConvBN_0"]["BatchNorm_0"]["BatchNorm_0"],
+           p["ConvBN_0"]["BatchNorm_0"]["BatchNorm_0"])
+    t.dw.weight.data = f2t_conv(p["Conv_0"]["kernel"])
+    t.pw2.weight.data = f2t_conv(p["ConvBN_1"]["Conv_0"]["kernel"])
+    set_bn(t.bn2, s["ConvBN_1"]["BatchNorm_0"]["BatchNorm_0"],
+           p["ConvBN_1"]["BatchNorm_0"]["BatchNorm_0"])
+    xt = torch.from_numpy(
+        x.reshape(2, 9, 9, dim).transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        want = t(xt).numpy().transpose(0, 2, 3, 1).reshape(2, 1, 9, 9, dim)
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+class TorchSpikeAttention(nn.Module):
+    """sdtv2 MS_Attention_RepConv_qkv_id with conv1x1 stand-ins replaced by
+    full RepConv — weights copied from the flax module."""
+
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.h = heads
+        self.dim = dim
+        self.q = TorchRepConv(dim, dim)
+        self.k = TorchRepConv(dim, dim)
+        self.v = TorchRepConv(dim, dim)
+        self.qbn = nn.BatchNorm2d(dim)
+        self.kbn = nn.BatchNorm2d(dim)
+        self.vbn = nn.BatchNorm2d(dim)
+        self.proj = TorchRepConv(dim, dim)
+        self.projbn = nn.BatchNorm2d(dim)
+
+    def forward(self, x):
+        b, c, hh, ww = x.shape
+        n = hh * ww
+        xs = q8(x)
+        qq = q8(self.qbn(self.q(xs)))
+        kk = q8(self.kbn(self.k(xs)))
+        vv = q8(self.vbn(self.v(xs)))
+
+        def heads(y):
+            return (y.flatten(2).transpose(1, 2)
+                    .reshape(b, n, self.h, c // self.h)
+                    .permute(0, 2, 1, 3))
+
+        qh, kh, vh = heads(qq), heads(kk), heads(vv)
+        out = kh.transpose(-2, -1) @ vh
+        out = (qh @ out) * (c // self.h) ** -0.5
+        out = out.transpose(2, 3).reshape(b, c, n)
+        out = q8(out).reshape(b, c, hh, ww)
+        return self.projbn(self.proj(out))
+
+
+def _load_repconv(trc, p, s):
+    trc.c1.weight.data = f2t_conv(p["Conv_0"]["kernel"])
+    set_bn(trc.bn_pad, s["BNAndPad_0"], p["BNAndPad_0"])
+    trc.dw.weight.data = f2t_conv(p["Conv_1"]["kernel"])
+    trc.pw.weight.data = f2t_conv(p["Conv_2"]["kernel"])
+    set_bn(trc.bn, s["BatchNorm_0"]["BatchNorm_0"],
+           p["BatchNorm_0"]["BatchNorm_0"])
+
+
+def test_spike_attention_parity():
+    dim, heads = 16, 4
+    mod = SpikeAttention(dim, heads)
+    x = RNG.normal(0, 2, (1, 2, 6, 6, dim)).astype(np.float32)
+    vars_ = randomize_variables(mod.init(jax.random.PRNGKey(0), x))
+    got = np.asarray(mod.apply(vars_, jnp.asarray(x)))
+
+    p, s = vars_["params"], vars_["batch_stats"]
+    t = TorchSpikeAttention(dim, heads).eval()
+    for name, trc, tbn in [("q", t.q, t.qbn), ("k", t.k, t.kbn),
+                           ("v", t.v, t.vbn)]:
+        _load_repconv(trc, p[f"{name}_rep"], s[f"{name}_rep"])
+        set_bn(tbn, s[f"{name}_bn"]["BatchNorm_0"],
+               p[f"{name}_bn"]["BatchNorm_0"])
+    _load_repconv(t.proj, p["proj_rep"], s["proj_rep"])
+    set_bn(t.projbn, s["proj_bn"]["BatchNorm_0"], p["proj_bn"]["BatchNorm_0"])
+
+    xt = torch.from_numpy(x.reshape(2, 6, 6, dim).transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        want = t(xt).numpy().transpose(0, 2, 3, 1).reshape(1, 2, 6, 6, dim)
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-3)
+
+
+def test_spike_mha_parity():
+    """Softmax-free token attention: q/k/v conv1d+BN, scores/sqrt(C)."""
+    dim, heads = 16, 4
+    mod = SpikeMHA(dim, heads)
+    qx = RNG.normal(0, 2, (1, 2, 5, dim)).astype(np.float32)
+    kx = RNG.normal(0, 2, (1, 2, 7, dim)).astype(np.float32)
+    vars_ = randomize_variables(
+        mod.init(jax.random.PRNGKey(0), qx, kx, kx))
+    got = np.asarray(mod.apply(vars_, jnp.asarray(qx), jnp.asarray(kx),
+                               jnp.asarray(kx)))
+
+    p, s = vars_["params"], vars_["batch_stats"]
+
+    def tok(y, pfx):
+        w = np.asarray(p[pfx]["Conv_0"]["kernel"])[0]  # [in, out]
+        b = np.asarray(p[pfx]["Conv_0"]["bias"])
+        y = q8(y) @ torch.from_numpy(w) + torch.from_numpy(b)
+        bp = p[pfx]["BatchNorm_0"]["BatchNorm_0"]
+        bs = s[pfx]["BatchNorm_0"]["BatchNorm_0"]
+        mean = torch.from_numpy(np.asarray(bs["mean"]))
+        var = torch.from_numpy(np.asarray(bs["var"]))
+        sc = torch.from_numpy(np.asarray(bp["scale"]))
+        bi = torch.from_numpy(np.asarray(bp["bias"]))
+        return (y - mean) / torch.sqrt(var + 1e-5) * sc + bi
+
+    qt = torch.from_numpy(qx[0])
+    kt = torch.from_numpy(kx[0])
+    qq, kk, vv = q8(tok(qt, "q")), q8(tok(kt, "k")), q8(tok(kt, "v"))
+
+    def to_heads(y, n):
+        return y.reshape(2, n, heads, dim // heads).permute(0, 2, 1, 3)
+
+    qh, kh, vh = to_heads(qq, 5), to_heads(kk, 7), to_heads(vv, 7)
+    scores = (qh @ kh.transpose(-2, -1)) / dim ** 0.5
+    out = scores @ vh
+    out = out.permute(0, 2, 1, 3).reshape(2, 5, dim)
+    w = np.asarray(p["Conv_0"]["kernel"])[0]
+    b = np.asarray(p["Conv_0"]["bias"])
+    out = q8(out) @ torch.from_numpy(w) + torch.from_numpy(b)
+    bp, bs = p["BatchNorm_0"]["BatchNorm_0"], s["BatchNorm_0"]["BatchNorm_0"]
+    out = ((out - torch.from_numpy(np.asarray(bs["mean"])))
+           / torch.sqrt(torch.from_numpy(np.asarray(bs["var"])) + 1e-5)
+           * torch.from_numpy(np.asarray(bp["scale"]))
+           + torch.from_numpy(np.asarray(bp["bias"])))
+    np.testing.assert_allclose(got[0], out.numpy(), atol=5e-5, rtol=1e-3)
