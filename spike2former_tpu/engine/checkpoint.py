@@ -73,3 +73,19 @@ def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
             k = k[len("backbone."):]
         out[k] = v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
     return out
+
+
+def load_reference_backbone(path: str, variables, depths_stage3: int = 6,
+                            depths_stage4: int = 2):
+    """Load a reference torch checkpoint into a model's backbone subtree
+    (the init_cfg Pretrained flow, sdtv2.py:577-612)."""
+    from flax.core import unfreeze
+
+    from .convert_sdtv2 import convert_sdtv2_backbone
+
+    sd = load_torch_state_dict(path)
+    conv = convert_sdtv2_backbone(sd, depths_stage3, depths_stage4)
+    variables = jax.device_get(unfreeze(variables))
+    variables["params"]["backbone"] = conv["params"]
+    variables["batch_stats"]["backbone"] = conv["batch_stats"]
+    return variables
