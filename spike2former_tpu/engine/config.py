@@ -205,6 +205,18 @@ def _fpn_sdtv3(size: str) -> Config:
     )
 
 
+
+def _coco_panoptic_spike2former() -> Config:
+    """COCO panoptic via the mmdet-side mask-classification head
+    (BASELINE.json configs[3]): 133 classes (80 things + 53 stuff); panoptic
+    merge via evaluation.tta.panoptic_inference."""
+    return Config(
+        name="SDTv2_maskformer_coco_panoptic",
+        model=ModelConfig(T=1, num_classes=133),
+        data=DataConfig(dataset="coco_stuff164k", data_root="data/coco"),
+    )
+
+
 PRESETS: dict[str, Any] = {
     "SDTv2_maskformer_DCNpixelDecoder_ade20k": _ade_spike2former_sdtv2,
     "SDTv2_maskformer_DCNPixelDecoder_CityScapes":
@@ -218,6 +230,7 @@ PRESETS: dict[str, Any] = {
     "SDTv3_b_Spike2former_voc_512x512": _voc_spike2former_sdtv3,
     "SDTv3_b_Spike2former_Cityscapes_512x1024":
         _cityscapes_spike2former_sdtv3,
+    "SDTv2_maskformer_coco_panoptic": _coco_panoptic_spike2former,
     "fpn_sdtv3_512x512_10M_ade20k": lambda: _fpn_sdtv3("10M"),
     "fpn_sdtv3_512x512_19M_ade20k": lambda: _fpn_sdtv3("19M"),
 }

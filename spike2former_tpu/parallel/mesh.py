@@ -49,3 +49,12 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
 def replicate(mesh: Mesh, tree: Any) -> Any:
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the image height axis over 'data' — spatial partitioning for
+    large-image (e.g. Cityscapes 1024x2048) inference.  XLA/GSPMD inserts
+    the conv halo exchanges automatically; this is the TPU answer to the
+    reference's absent sequence parallelism (SURVEY §5 long-context notes).
+    """
+    return NamedSharding(mesh, P(None, "data"))
