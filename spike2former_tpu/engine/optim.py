@@ -80,3 +80,30 @@ def make_optimizer(params: Any,
         _param_labels(params),
     )
     return optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+
+
+def layerwise_decay_scales(params: Any, decay_rate: float = 0.9,
+                           num_layers: int = 12) -> Any:
+    """Layer-wise lr decay — LearningRateDecayOptimizerConstructor
+    equivalent (mmseg engine/optimizers/layer_decay_optimizer_constructor
+    .py:104-207): deeper blocks get lr x decay^(num_layers - depth).
+
+    Returns a pytree of scalar multipliers matching ``params``; combine
+    with ``optax.scale_by_trust_ratio``-style masking or multiply into
+    per-group learning rates.
+    """
+    import re
+
+    def depth_of(path) -> int:
+        joined = "/".join(str(getattr(p, "key", p)) for p in path)
+        m = re.search(r"block(\d)_(\d+)", joined)
+        if m:
+            stage, idx = int(m.group(1)), int(m.group(2))
+            return min(2 * stage + idx, num_layers)
+        m = re.search(r"(down|conv)(\d)_?", joined)
+        if m:
+            return int(m.group(2))
+        return num_layers  # head params: no decay
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: decay_rate ** (num_layers - depth_of(path)), params)
