@@ -140,6 +140,14 @@ def dcnv3_sample_pallas_t(
     cg = group_channels
     wincg = w_in * cg
 
+    # Tile the output-token axis so the [WinCg, tile] working set fits VMEM
+    # for large feature maps (e.g. Cityscapes /16 = 4096 tokens).
+    budget = 8 * 1024 * 1024  # bytes for the ~3 f32 [WinCg, tile] buffers
+    tile = hw_out
+    while 3 * wincg * 4 * tile > budget and tile % 2 == 0:
+        tile //= 2
+    n_tiles = hw_out // tile
+
     feat_t = jnp.swapaxes(feat, -1, -2)  # [N, G, WinCg, Hin]
 
     expand = np.zeros((wincg, w_in), np.float32)
@@ -153,24 +161,24 @@ def dcnv3_sample_pallas_t(
         _sampling_kernel_t, num_points=num_points, h_in=h_in, w_in=w_in,
         cg=cg, acc_dtype=jnp.float32)
 
-    coord_spec = pl.BlockSpec((1, 1, num_points, hw_out),
-                              lambda i, j: (i, j, 0, 0),
+    coord_spec = pl.BlockSpec((1, 1, num_points, tile),
+                              lambda i, j, o: (i, j, 0, o),
                               memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, g, cg, hw_out), feat.dtype),
-        grid=(n, g),
+        grid=(n, g, n_tiles),
         in_specs=[
             coord_spec, coord_spec, coord_spec,
-            pl.BlockSpec((1, 1, wincg, h_in), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, wincg, h_in), lambda i, j, o: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((wincg, w_in), lambda i, j: (0, 0),
+            pl.BlockSpec((wincg, w_in), lambda i, j, o: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cg, wincg), lambda i, j: (0, 0),
+            pl.BlockSpec((cg, wincg), lambda i, j, o: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, cg, hw_out),
-                               lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, cg, tile),
+                               lambda i, j, o: (i, j, 0, o),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=4 * n * g * num_points * hw_out * h_in * wincg,
