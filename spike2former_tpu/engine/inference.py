@@ -61,7 +61,8 @@ def slide_logits(model: Spike2Former, variables, images_u8: jax.Array,
     fwd = jax.jit(functools.partial(
         model.apply, variables, method=Spike2Former.predict_logits))
     nw = len(origins)
-    wb = window_batch or max(8 // b, 1) * b
+    # window chunking scaled by crop area: ~8 512x512-equivalents per chunk
+    wb = window_batch or b * max(1, (8 * 512 * 512) // (ch * cw))
     total = nw * b
     pad = (-total) % wb
     if pad:

@@ -134,8 +134,14 @@ def _layer_loss(cls_scores, mask_preds, gt: GroundTruth, *,
         weight=pair_w.reshape(-1), eps=1.0, naive=True, activate=True,
         avg_factor=num_total_masks)
 
+    # The reference calls ``loss_mask(mask_preds, 1 - mask_targets)``
+    # (:493-494), but mmdet's FocalLoss treats that tensor as a *class
+    # index* and one-hots it (focal_loss.py:220-224 / the CUDA op's
+    # target-index convention): index 0 — i.e. mask == 1 — selects the
+    # positive of the single logit channel.  The effective float target is
+    # therefore the mask itself.
     loss_focal = sigmoid_focal_loss(
-        pred_m, 1.0 - tgt_m,  # complement target (:493-494)
+        pred_m, tgt_m,
         weight=pair_w[..., None, None],
         avg_factor=num_total_masks * lh * lw)
 
