@@ -22,17 +22,48 @@ from ..models.segmentor import Spike2Former, preprocess
 from ..ops.resize import resize_bilinear
 
 
+@functools.lru_cache(maxsize=64)
+def _jitted_whole(model):
+    def impl(variables, images_u8):
+        x = preprocess(images_u8)
+        return model.apply(variables, x, method=type(model).predict_logits)
+
+    return jax.jit(impl)
+
+
 def whole_logits(model: Spike2Former, variables, images_u8: jax.Array
                  ) -> jax.Array:
-    """[B, H, W, 3] uint8 RGB → [B, H, W, num_classes] logits."""
-    x = preprocess(images_u8)
-    return model.apply(variables, x, method=Spike2Former.predict_logits)
+    """[B, H, W, 3] uint8 RGB → [B, H, W, num_classes] logits.
+
+    The jitted implementation is cached per model (flax modules hash by
+    their static config), so repeated calls never retrace.
+    """
+    return _jitted_whole(model)(variables, images_u8)
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_slide(model, crop_size, stride, num_classes, window_batch):
+    def impl(variables, images_u8):
+        return _slide_impl(model, variables, images_u8, crop_size, stride,
+                           num_classes, window_batch)
+
+    return jax.jit(impl)
 
 
 def slide_logits(model: Spike2Former, variables, images_u8: jax.Array,
                  crop_size: tuple[int, int], stride: tuple[int, int],
                  num_classes: int, window_batch: int | None = None
                  ) -> jax.Array:
+    """Cached-jit wrapper around the sliding-window implementation — one
+    compilation per (model, crop, stride, image-shape)."""
+    return _jitted_slide(model, tuple(crop_size), tuple(stride),
+                         num_classes, window_batch)(variables, images_u8)
+
+
+def _slide_impl(model: Spike2Former, variables, images_u8: jax.Array,
+                crop_size: tuple[int, int], stride: tuple[int, int],
+                num_classes: int, window_batch: int | None = None
+                ) -> jax.Array:
     """Sliding-window logits with overlap averaging
     (encoder_decoder.py:246-297).
 
@@ -58,8 +89,8 @@ def slide_logits(model: Spike2Former, variables, images_u8: jax.Array,
          for (y1, x1) in origins], axis=0)  # [W, B, ch, cw, 3]
     crops = crops.reshape(-1, ch, cw, 3)
 
-    fwd = jax.jit(functools.partial(
-        model.apply, variables, method=Spike2Former.predict_logits))
+    fwd = functools.partial(
+        model.apply, variables, method=type(model).predict_logits)
     nw = len(origins)
     # window chunking scaled by crop area: ~8 512x512-equivalents per chunk
     wb = window_batch or b * max(1, (8 * 512 * 512) // (ch * cw))
