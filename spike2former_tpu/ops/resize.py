@@ -25,6 +25,11 @@ def resize_bilinear(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     oh, ow = out_hw
     if (oh, ow) == (h, w):
         return x
+    if oh >= h and ow >= w:
+        # Pure upscale: jax.image.resize (no antialias kicks in) is exactly
+        # torch's half-pixel bilinear and lowers to MXU-friendly matmuls
+        # instead of gathers.
+        return jax.image.resize(x, (*lead, oh, ow, c), method="linear")
 
     def grid(in_size, out_size):
         # src = (dst + 0.5) * in/out - 0.5, clamped into the valid range
