@@ -128,3 +128,50 @@ def ade_palette() -> list[list[int]]:
 
     rng = np.random.RandomState(42)
     return [list(map(int, rng.randint(0, 255, 3))) for _ in range(150)]
+
+
+PASCAL_CONTEXT = DatasetMeta(
+    name="pascal_context",
+    classes=tuple(f"class_{i}" for i in range(60)),  # 59 + background
+    reduce_zero_label=False,
+    splits={"train": ("JPEGImages", "SegmentationClassContext"),
+            "val": ("JPEGImages", "SegmentationClassContext")},
+)
+
+# Retina-vessel / medical binary segmentation sets (mmseg DRIVE/ChaseDB1/
+# Synapse equivalents): 2-class, png pairs.
+DRIVE = DatasetMeta(
+    name="drive",
+    classes=("background", "vessel"),
+    reduce_zero_label=False,
+    img_suffix=".png",
+    seg_suffix="_manual1.png",
+    splits={"train": ("images/training", "annotations/training"),
+            "val": ("images/validation", "annotations/validation")},
+)
+
+CHASE_DB1 = DatasetMeta(
+    name="chase_db1",
+    classes=("background", "vessel"),
+    reduce_zero_label=False,
+    img_suffix=".png",
+    seg_suffix="_1stHO.png",
+    splits={"train": ("images/training", "annotations/training"),
+            "val": ("images/validation", "annotations/validation")},
+)
+
+# DDD17 DVS event-camera driving dataset (mmseg ddd17.py): 6 classes over
+# event-frame tensors stored as images.
+DDD17 = DatasetMeta(
+    name="ddd17",
+    classes=("flat", "construction", "object", "nature", "human",
+             "vehicle"),
+    reduce_zero_label=False,
+    img_suffix=".png",
+    seg_suffix="_gt.png",
+    splits={"train": ("images/train", "labels/train"),
+            "val": ("images/val", "labels/val")},
+)
+
+for _d in (PASCAL_CONTEXT, DRIVE, CHASE_DB1, DDD17):
+    DATASETS[_d.name] = _d
