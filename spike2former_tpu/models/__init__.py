@@ -2,9 +2,13 @@ from .sdtv2 import SpikingMetaFormer
 from .maskformer_head import MaskFormerHead, semantic_inference
 from .pixel_decoder import DCNPixelDecoder, FPNPixelDecoder
 from .segmentor import Spike2Former, preprocess, IMAGENET_MEAN, IMAGENET_STD
+from .fpn import FPNSegmentor, FPNNeck, FPNHead
+from .transformer_decoder import DetrDecoderLayer
+from .dcn import DCNv3
 
 __all__ = [
     "SpikingMetaFormer", "MaskFormerHead", "semantic_inference",
     "DCNPixelDecoder", "FPNPixelDecoder",
     "Spike2Former", "preprocess", "IMAGENET_MEAN", "IMAGENET_STD",
+    "FPNSegmentor", "FPNNeck", "FPNHead", "DetrDecoderLayer", "DCNv3",
 ]
