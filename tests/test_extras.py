@@ -96,3 +96,15 @@ def test_torch_conv_conversion():
     want = xl @ wl.T
     got = jnp.asarray(xl) @ jnp.asarray(convert_torch_linear(wl))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_scalar_logger_roundtrip(tmp_path):
+    from spike2former_tpu.engine.logging import ScalarLogger, read_scalars
+
+    log = ScalarLogger(str(tmp_path))
+    log.log(1, total=5.0)
+    log.log(2, total=4.0, acc=0.5)
+    log.close()
+    recs = read_scalars(log.path)
+    assert [r["step"] for r in recs] == [1, 2]
+    assert recs[1]["acc"] == 0.5

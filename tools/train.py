@@ -80,6 +80,9 @@ def main():
         model, tx, num_classes=cfg.model.num_classes,
         max_gt=cfg.train.max_gt, matcher=cfg.train.matcher))
 
+    from spike2former_tpu.engine.logging import ScalarLogger
+
+    slog = ScalarLogger(work_dir)
     t0 = time.time()
     it = iter(loader)
     for i in range(start, cfg.train.total_iters):
@@ -95,6 +98,9 @@ def main():
                   f"loss {m['total']:.4f} cls {m['loss_cls']:.4f} "
                   f"mask {m['loss_mask']:.4f} dice {m['loss_dice']:.4f} "
                   f"{dt:.3f}s/iter", flush=True)
+            slog.log(i + 1, total=m["total"], loss_cls=m["loss_cls"],
+                     loss_mask=m["loss_mask"], loss_dice=m["loss_dice"],
+                     grad_norm=m["grad_norm"], sec_per_iter=dt)
         if (i + 1) % cfg.train.checkpoint_interval == 0:
             save_state(work_dir, state, i + 1)
     save_state(work_dir, state, cfg.train.total_iters)
