@@ -60,3 +60,38 @@ def test_draw_sem_seg_and_cityscapes_writer(tmp_path):
     from PIL import Image
     ids = np.asarray(Image.open(p))
     assert ids[0, 0] == 7  # road trainId 0 -> labelId 7
+
+
+def test_init_and_inference_model(tmp_path):
+    """api.init_model/inference_model end-to-end on a tiny config."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from spike2former_tpu.api import inference_model, init_model
+    from spike2former_tpu.engine.config import get_config
+
+    cfg = get_config("SDTv2_maskformer_DCNpixelDecoder_ade20k")
+    cfg.model.embed_dim = (8, 16, 24, 32)
+    cfg.model.backbone_heads = 4
+    cfg.model.feat_channels = 16
+    cfg.model.num_queries = 4
+    cfg.model.num_decoder_layers = 1
+    cfg.model.num_encoder_layers = 1
+    cfg.model.depths_stage3 = 1
+    cfg.model.depths_stage4 = 1
+    cfg.model.dcn_group = 4
+    cfg.model.num_classes = 12
+    cfg.data.crop_size = (32, 32)
+    cfg.data.test_scale = (96, 64)
+
+    m = init_model(cfg)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (50, 70, 3), np.uint8)
+    p = tmp_path / "img.jpg"
+    Image.fromarray(img).save(p)
+    pred = inference_model(m, str(p))
+    assert pred.shape == (50, 70)
+    assert pred.dtype == np.int32
+    assert pred.min() >= 0 and pred.max() < 12
