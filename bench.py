@@ -42,7 +42,7 @@ def main():
     from spike2former_tpu.models import Spike2Former
     from spike2former_tpu.utils import fast_variables
 
-    batch = 8
+    batch = 16
     model = Spike2Former(num_classes=150, T=4, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(120.0, 60.0, (batch, 512, 512, 3)),
