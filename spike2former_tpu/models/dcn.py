@@ -66,8 +66,8 @@ class DCNv3(nn.Module):
         mask = Spike(self.spike)(mask)
 
         valf, _ = fold_t(value)
-        # Pallas sampling kernel on TPU for inference; XLA contraction path
-        # when training (it is transparently differentiable) or off-TPU.
+        # Pallas sampling kernel (forward + custom backward kernels) on TPU,
+        # XLA contraction path on CPU.
         out = dcnv3_core(
             valf, offset, mask,
             kernel_h=k, kernel_w=k,
@@ -75,8 +75,7 @@ class DCNv3(nn.Module):
             pad_h=self.pad, pad_w=self.pad,
             dilation_h=self.dilation, dilation_w=self.dilation,
             group=g, group_channels=self.channels // g,
-            offset_scale=self.offset_scale,
-            impl="xla" if train else "auto")
+            offset_scale=self.offset_scale)
         out = unfold_t(out, t)
         out = SepConv(name="output_proj", **sep_kw)(out, train)
         return out

@@ -76,6 +76,37 @@ def _selector(pos: jax.Array, size: int, dtype) -> jax.Array:
     return sel0 * (1.0 - frac)[..., None] + sel1 * frac[..., None]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _pallas_sample(feat, py, px, mask, num_points, h_in, w_in, group, cg):
+    """Differentiable Pallas sampler: forward + hand-derived backward
+    kernels (see ops/pallas/dcnv3_kernel.py)."""
+    from .pallas.dcnv3_kernel import dcnv3_sample_pallas_t
+
+    return dcnv3_sample_pallas_t(
+        feat, py, px, mask, num_points=num_points, h_in=h_in, w_in=w_in,
+        group=group, group_channels=cg)
+
+
+def _pallas_sample_fwd(feat, py, px, mask, num_points, h_in, w_in, group,
+                       cg):
+    out = _pallas_sample(feat, py, px, mask, num_points, h_in, w_in, group,
+                         cg)
+    return out, (feat, py, px, mask)
+
+
+def _pallas_sample_bwd(num_points, h_in, w_in, group, cg, res, dout):
+    from .pallas.dcnv3_kernel import dcnv3_sample_pallas_t_bwd
+
+    feat, py, px, mask = res
+    dfeat, dpy, dpx, dm = dcnv3_sample_pallas_t_bwd(
+        feat, py, px, mask, dout, num_points=num_points, h_in=h_in,
+        w_in=w_in, group=group, group_channels=cg)
+    return dfeat, dpy, dpx, dm
+
+
+_pallas_sample.defvjp(_pallas_sample_fwd, _pallas_sample_bwd)
+
+
 def _use_pallas(impl: str) -> bool:
     if impl == "pallas":
         return True
@@ -150,17 +181,14 @@ def dcnv3_core(
     mask = mask.reshape(n, hw_out, group, p)
 
     if _use_pallas(impl):
-        from .pallas.dcnv3_kernel import dcnv3_sample_pallas_t
-
         feat = xp.reshape(n, h_in, w_in, group, cg)
         feat = feat.transpose(0, 3, 1, 2, 4).reshape(
             n, group, h_in, w_in * cg)
         py_t = py.transpose(0, 2, 3, 1).astype(jnp.float32)  # [N,G,P,HoWo]
         px_t = px.transpose(0, 2, 3, 1).astype(jnp.float32)
         m_t = mask.transpose(0, 2, 3, 1).astype(jnp.float32)
-        out = dcnv3_sample_pallas_t(
-            feat, py_t, px_t, m_t, num_points=p, h_in=h_in, w_in=w_in,
-            group=group, group_channels=cg)  # [N, G, Cg, HoWo]
+        out = _pallas_sample(feat, py_t, px_t, m_t, p, h_in, w_in, group,
+                             cg)  # [N, G, Cg, HoWo]
         out = out.transpose(0, 3, 1, 2).reshape(
             n, h_out, w_out, group * cg)
         return out

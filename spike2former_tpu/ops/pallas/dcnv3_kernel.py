@@ -250,3 +250,172 @@ def dcnv3_sample_pallas(
             transcendentals=0,
         ),
     )(py, px, mask, feat, sel)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel (training): gradients of the transposed-layout sampler.
+# All terms are the same selector builds + MXU contractions as the forward:
+#   dT    = Sel^T dOut                      (channel -> (v,c) expansion)
+#   dG_p  = dT ⊙ Cexp_p ;  dCexp_p = dT ⊙ G_p (G_p recomputed, one matmul)
+#   dF   += dG_p row_p^T                    (feature gradient, accumulated)
+#   drow  = F^T dG_p ;  dcol = Expand^T dCexp_p
+#   dm_p  = Σ_u drow ⊙ row_unmasked ;  dpy_p = m·Σ_u drow ⊙ (s1 - s0)
+#   dpx_p = Σ_v dcol ⊙ (t1 - t0)
+# (floor() taps carry no gradient — identical to grid_sample / the XLA
+# formulation's autodiff.)
+# ---------------------------------------------------------------------------
+
+
+def _sampling_kernel_t_bwd(py_ref, px_ref, m_ref, feat_ref, expand_ref,
+                           sel_ref, dout_ref, dfeat_ref, dpy_ref, dpx_ref,
+                           dm_ref, *, num_points: int, h_in: int, w_in: int,
+                           cg: int, acc_dtype):
+    feat_t = feat_ref[0, 0]            # [WinCg, Hin]
+    hw_t = py_ref.shape[-1]            # tile size
+    wincg = w_in * cg
+
+    o_idx = pl.program_id(2)
+
+    @pl.when(o_idx == 0)
+    def _init():
+        dfeat_ref[0, 0] = jnp.zeros_like(dfeat_ref[0, 0])
+
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (h_in, hw_t), 0)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (w_in, hw_t), 0)
+
+    dout = dout_ref[0, 0].astype(acc_dtype)      # [Cg, tile]
+    d_t = jax.lax.dot_general(
+        sel_ref[:, :].astype(acc_dtype), dout,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype)        # [WinCg, tile]
+
+    def point_body(p, dfeat_acc):
+        py = py_ref[0, 0, p][None, :]
+        px = px_ref[0, 0, p][None, :]
+        m = m_ref[0, 0, p][None, :].astype(acc_dtype)
+
+        y0f = jnp.floor(py)
+        fy = (py - y0f).astype(acc_dtype)
+        y0 = y0f.astype(jnp.int32)
+        s0 = (iota_u == y0).astype(acc_dtype)
+        s1 = (iota_u == y0 + 1).astype(acc_dtype)
+        row_u = s0 * (1.0 - fy) + s1 * fy        # unmasked [Hin, tile]
+        row_t = row_u * m
+
+        x0f = jnp.floor(px)
+        fx = (px - x0f).astype(acc_dtype)
+        x0 = x0f.astype(jnp.int32)
+        t0 = (iota_v == x0).astype(acc_dtype)
+        t1 = (iota_v == x0 + 1).astype(acc_dtype)
+        col_t = t0 * (1.0 - fx) + t1 * fx        # [Win, tile]
+        cexp_t = jnp.dot(expand_ref[:, :].astype(acc_dtype), col_t,
+                         preferred_element_type=acc_dtype)  # [WinCg, tile]
+
+        g_t = jnp.dot(feat_t, row_t.astype(feat_t.dtype),
+                      preferred_element_type=acc_dtype)     # [WinCg, tile]
+
+        dg = d_t * cexp_t
+        dcexp = d_t * g_t
+
+        # feature grad: [WinCg, Hin]
+        dfeat_acc = dfeat_acc + jax.lax.dot_general(
+            dg, row_t, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=acc_dtype)
+
+        # row grad: [Hin, tile]
+        drow = jax.lax.dot_general(
+            feat_t.astype(acc_dtype), dg,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=acc_dtype)
+        dm_ref[0, 0, p] = jnp.sum(drow * row_u, axis=0).astype(
+            dm_ref.dtype)
+        dpy_ref[0, 0, p] = (m[0] * jnp.sum(drow * (s1 - s0), axis=0)
+                            ).astype(dpy_ref.dtype)
+
+        # col grad: [Win, tile]
+        dcol = jax.lax.dot_general(
+            expand_ref[:, :].astype(acc_dtype), dcexp,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=acc_dtype)
+        dpx_ref[0, 0, p] = jnp.sum(dcol * (t1 - t0), axis=0).astype(
+            dpx_ref.dtype)
+        return dfeat_acc
+
+    dfeat = jax.lax.fori_loop(
+        0, num_points, point_body,
+        jnp.zeros((wincg, h_in), acc_dtype))
+    dfeat_ref[0, 0] = dfeat_ref[0, 0] + dfeat.astype(dfeat_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_points", "h_in", "w_in", "group",
+                     "group_channels"),
+)
+def dcnv3_sample_pallas_t_bwd(feat, py, px, mask, dout, *, num_points,
+                              h_in, w_in, group, group_channels):
+    """Backward of ``dcnv3_sample_pallas_t``.
+
+    dout: [N, G, Cg, HoWo].  Returns (dfeat [N,G,Hin,WinCg] — caller
+    layout, dpy, dpx, dmask [N,G,P,HoWo])."""
+    n, g = feat.shape[0], feat.shape[1]
+    hw_out = py.shape[-1]
+    cg = group_channels
+    wincg = w_in * cg
+
+    budget = 6 * 1024 * 1024
+    tile = hw_out
+    while 5 * wincg * 4 * tile > budget and tile % 2 == 0:
+        tile //= 2
+    n_tiles = hw_out // tile
+
+    feat_t = jnp.swapaxes(feat, -1, -2)
+
+    expand = np.zeros((wincg, w_in), np.float32)
+    expand[np.arange(wincg), np.arange(wincg) // cg] = 1.0
+    expand = jnp.asarray(expand, feat.dtype)
+    sel = np.zeros((cg, wincg), np.float32)
+    sel[np.arange(wincg) % cg, np.arange(wincg)] = 1.0
+    sel = jnp.asarray(sel, feat.dtype)
+
+    kernel = functools.partial(
+        _sampling_kernel_t_bwd, num_points=num_points, h_in=h_in,
+        w_in=w_in, cg=cg, acc_dtype=jnp.float32)
+
+    coord_spec = pl.BlockSpec((1, 1, num_points, tile),
+                              lambda i, j, o: (i, j, 0, o),
+                              memory_space=pltpu.VMEM)
+    dfeat_t, dpy, dpx, dm = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, g, wincg, h_in), jnp.float32),
+            jax.ShapeDtypeStruct((n, g, num_points, hw_out), jnp.float32),
+            jax.ShapeDtypeStruct((n, g, num_points, hw_out), jnp.float32),
+            jax.ShapeDtypeStruct((n, g, num_points, hw_out), jnp.float32),
+        ),
+        grid=(n, g, n_tiles),
+        in_specs=[
+            coord_spec, coord_spec, coord_spec,
+            pl.BlockSpec((1, 1, wincg, h_in), lambda i, j, o: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wincg, w_in), lambda i, j, o: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cg, wincg), lambda i, j, o: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cg, tile), lambda i, j, o: (i, j, 0, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, wincg, h_in), lambda i, j, o: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            coord_spec, coord_spec, coord_spec,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * n * g * num_points * hw_out * h_in * wincg,
+            bytes_accessed=feat.size * 4 + py.size * 4 * 6,
+            transcendentals=0,
+        ),
+    )(py, px, mask, feat_t, expand, sel, dout)
+
+    dfeat = jnp.swapaxes(dfeat_t, -1, -2).astype(feat.dtype)
+    return dfeat, dpy, dpx, dm

@@ -112,3 +112,45 @@ def test_dcnv3_pallas_interpret_matches_xla():
             jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
             group=g, group_channels=gc, impl="pallas"))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_dcnv3_pallas_backward_matches_xla_grad():
+    """Hand-derived backward kernel (interpret mode) vs autodiff of the XLA
+    formulation."""
+    import unittest.mock as mock
+    import jax
+    from jax.experimental import pallas as pl
+
+    rng = np.random.default_rng(11)
+    n, h, w, g, gc = 1, 5, 6, 2, 4
+    p = 9
+    x = rng.normal(size=(n, h, w, g * gc)).astype(np.float32)
+    offset = (rng.normal(size=(n, h, w, g * p * 2))).astype(np.float32)
+    mask = rng.uniform(0.2, 1, size=(n, h, w, g * p)).astype(np.float32)
+    cot = rng.normal(size=(n, h, w, g * gc)).astype(np.float32)
+
+    def loss(impl):
+        def f(xx, oo, mm):
+            out = dcnv3_core(xx, oo, mm, group=g, group_channels=gc,
+                             impl=impl)
+            return jnp.sum(out * jnp.asarray(cot))
+        return f
+
+    want = jax.grad(loss("xla"), argnums=(0, 1, 2))(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask))
+
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        kw.pop("cost_estimate", None)
+        return orig(*args, **kw)
+
+    with mock.patch.object(pl, "pallas_call", interp_call):
+        got = jax.grad(loss("pallas"), argnums=(0, 1, 2))(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask))
+
+    for gw, gg, name in zip(want, got, ("dx", "doffset", "dmask")):
+        np.testing.assert_allclose(
+            np.asarray(gg), np.asarray(gw), atol=3e-4, rtol=1e-3,
+            err_msg=name)
