@@ -14,6 +14,7 @@ from .neuron import (
     atan_surrogate,
 )
 from .dcnv3 import dcnv3_core
+from .msda import ms_deform_attn
 from .resize import (
     resize_bilinear,
     resize_bilinear_align_corners,
@@ -24,6 +25,6 @@ __all__ = [
     "quant_ste", "qspike", "multispike_norm", "multispike4", "spike_rate",
     "multistep_if", "multistep_lif", "multistep_plif", "multistep_qif",
     "sigmoid_surrogate", "atan_surrogate",
-    "dcnv3_core",
+    "dcnv3_core", "ms_deform_attn",
     "resize_bilinear", "resize_bilinear_align_corners", "resize_nearest_torch",
 ]
