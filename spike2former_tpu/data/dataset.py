@@ -7,13 +7,8 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from typing import Callable
-
-import numpy as np
-
 from .metainfo import DatasetMeta, DATASETS
-from .transforms import (
-    Sample, load_annotation, load_image, test_pipeline, train_pipeline)
+from .transforms import Sample, load_annotation, load_image
 
 
 @dataclass

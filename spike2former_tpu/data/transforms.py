@@ -15,9 +15,6 @@ All transforms are pure numpy functions over a ``sample`` dict:
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import Callable
-
 import numpy as np
 from PIL import Image
 
@@ -154,7 +151,6 @@ def photometric_distortion(sample: Sample, rng: np.random.Generator,
         return x
 
     def rgb_to_hsv(x):
-        import colorsys  # noqa: F401  (vectorized below)
         x = np.clip(x, 0, 255) / 255.0
         mx = x.max(-1)
         mn = x.min(-1)

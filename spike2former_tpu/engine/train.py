@@ -8,7 +8,6 @@ ops/spike.py), gradients/metrics reduced by XLA collectives instead of NCCL.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple
 
 import jax
@@ -16,7 +15,7 @@ import jax.numpy as jnp
 import optax
 from flax.core import FrozenDict
 
-from ..losses import GroundTruth, maskformer_loss, semantic_to_instances
+from ..losses import maskformer_loss, semantic_to_instances
 from ..models.segmentor import Spike2Former, preprocess
 
 

@@ -5,7 +5,6 @@ temporal-effective BN (TEBN :1226-1352) / threshold-dependent BN (TDBN).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import BatchNorm

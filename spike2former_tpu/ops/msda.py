@@ -14,7 +14,6 @@ row/column selector contraction per pyramid level, vectorized over
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -4,7 +4,6 @@ hook-based estimation)."""
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def count_params(variables) -> int:

@@ -8,7 +8,6 @@ Subcommands:
 """
 import argparse
 import os
-import sys
 
 import numpy as np
 from PIL import Image

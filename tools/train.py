@@ -6,7 +6,6 @@ Usage:
       --data-root /data/ade --cfg-options model.T=4 train.total_iters=1000
 """
 import argparse
-import json
 import os
 import sys
 import time
