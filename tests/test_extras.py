@@ -108,3 +108,37 @@ def test_scalar_logger_roundtrip(tmp_path):
     recs = read_scalars(log.path)
     assert [r["step"] for r in recs] == [1, 2]
     assert recs[1]["acc"] == 0.5
+
+
+def test_sine_positional_encoding_matches_torch():
+    """DETR sine PE vs an independent torch implementation of the same
+    formula (positional_encoding.py:59-97 semantics)."""
+    import math
+
+    import torch
+
+    from spike2former_tpu.models.positional import sine_positional_encoding
+
+    b, h, w, nf = 2, 5, 7, 8
+    mask = np.zeros((b, h, w), np.float32)
+    mask[1, 3:, :] = 1  # padded region in image 1
+
+    got = np.asarray(sine_positional_encoding(jnp.asarray(mask), nf))
+
+    mt = torch.from_numpy(mask).int()
+    not_mask = 1 - mt
+    y = not_mask.cumsum(1, dtype=torch.float32)
+    x = not_mask.cumsum(2, dtype=torch.float32)
+    scale = 2 * math.pi
+    y = y / (y[:, -1:, :] + 1e-6) * scale
+    x = x / (x[:, :, -1:] + 1e-6) * scale
+    dim_t = torch.arange(nf, dtype=torch.float32)
+    dim_t = 10000 ** (2 * torch.div(dim_t, 2, rounding_mode="floor") / nf)
+    px = x[..., None] / dim_t
+    py = y[..., None] / dim_t
+    px = torch.stack((px[..., 0::2].sin(), px[..., 1::2].cos()),
+                     dim=4).view(b, h, w, -1)
+    py = torch.stack((py[..., 0::2].sin(), py[..., 1::2].cos()),
+                     dim=4).view(b, h, w, -1)
+    want = torch.cat((py, px), dim=3).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
