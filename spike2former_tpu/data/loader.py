@@ -46,8 +46,11 @@ class TrainLoader:
             for i in range(0, len(order) - self.bs + 1, self.bs):
                 idxs = order[i:i + self.bs]
                 seeds = self.rng.integers(0, 2**31, size=self.bs)
-                futs = [self.pool.submit(self._load_one, int(j), int(sd))
-                        for j, sd in zip(idxs, seeds)]
+                try:
+                    futs = [self.pool.submit(self._load_one, int(j), int(sd))
+                            for j, sd in zip(idxs, seeds)]
+                except RuntimeError:
+                    return  # pool shut down at interpreter exit
                 imgs, segs = zip(*(f.result() for f in futs))
                 batch = (np.stack(imgs).astype(np.float32),
                          np.stack(segs).astype(np.int32))

@@ -13,6 +13,35 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def evaluate(cfg, model, state, max_images):
+    """Periodic validation (mmengine val loop + save_best equivalent)."""
+    import jax.numpy as jnp
+
+    from spike2former_tpu.data import eval_batches, make_dataset
+    from spike2former_tpu.engine import whole_logits
+    from spike2former_tpu.evaluation import compute_iou, init_iou, update_iou
+
+    try:
+        ds = make_dataset(cfg.data.dataset, cfg.data.data_root, "val")
+    except FileNotFoundError:
+        return float("nan")
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    iou = init_iou(cfg.model.num_classes)
+    n = 0
+    for images, sem, _ in eval_batches(
+            ds, scale=cfg.data.test_scale,
+            size_divisor=cfg.data.size_divisor):
+        if sem is None:
+            continue
+        logits = whole_logits(model, variables, jnp.asarray(images))
+        iou = update_iou(iou, jnp.argmax(logits, -1), jnp.asarray(sem),
+                         cfg.model.num_classes)
+        n += 1
+        if n >= max_images:
+            break
+    return compute_iou(iou)["mIoU"] if n else float("nan")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("config", help="preset name (see engine/config.py)")
@@ -21,6 +50,8 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--cfg-options", nargs="*", default=[])
     ap.add_argument("--log-interval", type=int, default=50)
+    ap.add_argument("--eval-images", type=int, default=100,
+                    help="val images per periodic eval (0 disables)")
     ap.add_argument("--device", default=None,
                     help="force backend, e.g. cpu (the axon sitecustomize "
                          "pins JAX_PLATFORMS, so env vars alone don't work)")
@@ -82,6 +113,7 @@ def main():
     from spike2former_tpu.engine.logging import ScalarLogger
 
     slog = ScalarLogger(work_dir)
+    best_miou = -1.0
     t0 = time.time()
     it = iter(loader)
     for i in range(start, cfg.train.total_iters):
@@ -102,6 +134,15 @@ def main():
                      grad_norm=m["grad_norm"], sec_per_iter=dt)
         if (i + 1) % cfg.train.checkpoint_interval == 0:
             save_state(work_dir, state, i + 1)
+        if (args.eval_images and cfg.train.val_interval
+                and (i + 1) % cfg.train.val_interval == 0):
+            miou = evaluate(cfg, model, state, args.eval_images)
+            print(f"iter {i+1} val mIoU {miou:.2f} "
+                  f"(best {best_miou:.2f})", flush=True)
+            slog.log(i + 1, mIoU=miou)
+            if miou > best_miou:
+                best_miou = miou
+                save_state(work_dir, state, i + 1)  # save_best='mIoU'
     save_state(work_dir, state, cfg.train.total_iters)
     loader.close()
 
