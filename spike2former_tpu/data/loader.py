@@ -79,12 +79,24 @@ class TrainLoader:
 def eval_batches(dataset: SegDataset, batch_size: int = 1,
                  scale=(2048, 512), size_divisor: int = 32):
     """Sequential eval iterator: yields (images [B,H,W,3] f32,
-    sem_seg [B,H,W] i32 or None, metas)."""
+    sem_seg [B,H,W] i32 or None, metas).
+
+    Following the reference protocol (mmseg BaseSegmentor.postprocess_result:
+    predictions are resized back to the ORIGINAL image resolution and scored
+    against full-resolution GT), the yielded ``sem_seg`` is the original,
+    un-resized annotation; metas carry ``ori_shape`` plus the post-resize
+    ``img_shape`` (the valid region inside the padded input) so callers can
+    run ``postprocess_pred`` before the IoU update.
+    """
     from .transforms import test_pipeline
 
     for i in range(len(dataset)):
-        s = test_pipeline(dataset.load(i), scale, size_divisor=size_divisor)
+        raw = dataset.load(i)
+        ori_shape = raw["image"].shape[:2]
+        ori_seg = raw.pop("sem_seg", None)  # keep GT at full resolution
+        s = test_pipeline(raw, scale, size_divisor=size_divisor)
         img = s["image"][None].astype(np.float32)
-        seg = (None if s.get("sem_seg") is None
-               else s["sem_seg"][None].astype(np.int32))
-        yield img, seg, [s["meta"]]
+        seg = None if ori_seg is None else ori_seg[None].astype(np.int32)
+        meta = dict(s["meta"], ori_shape=ori_shape)
+        meta.setdefault("pad_shape", meta["img_shape"])
+        yield img, seg, [meta]

@@ -42,6 +42,27 @@ def restore_state(path: str, target: Any) -> Any:
     return ckptr.restore(os.path.abspath(path), target=jax.device_get(target))
 
 
+def restore_variables(path: str, variables: Any) -> Any:
+    """Restore eval ``{'params', 'batch_stats'}`` variables from either a
+    raw variables checkpoint or a TrainState checkpoint written by
+    tools/train.py (step/params/batch_stats/opt_state) — the reference's
+    ``load_from`` accepts training checkpoints the same way."""
+    ckptr = ocp.StandardCheckpointer()
+    path = os.path.abspath(path)
+    try:
+        return ckptr.restore(path, target=jax.device_get(variables))
+    except (ValueError, KeyError):
+        raw = ckptr.restore(path)
+        if isinstance(raw, (list, tuple)) and len(raw) == 4:
+            # TrainState namedtuple restored without target -> sequence
+            _, params, batch_stats, _ = raw
+            return {"params": params, "batch_stats": batch_stats}
+        if isinstance(raw, dict) and "params" in raw:
+            return {"params": raw["params"],
+                    "batch_stats": raw.get("batch_stats", {})}
+        raise
+
+
 # ---------------------------------------------------------------------------
 # torch state_dict -> JAX variables conversion
 # ---------------------------------------------------------------------------

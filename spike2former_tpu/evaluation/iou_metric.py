@@ -55,6 +55,31 @@ def update_iou(state: IoUState, pred: jax.Array, label: jax.Array,
     )
 
 
+def update_iou_np(state: IoUState, pred: np.ndarray, label: np.ndarray,
+                  num_classes: int, ignore_index: int = 255) -> IoUState:
+    """Host-side (numpy) histogram update for variable-shape eval images —
+    same math as ``update_iou`` without a per-shape XLA retrace."""
+    pred = np.asarray(pred).reshape(-1)
+    label = np.asarray(label).reshape(-1)
+    valid = label != ignore_index
+    pred = pred[valid]
+    label = label[valid]
+
+    def hist(x):
+        return np.bincount(x, minlength=num_classes)[:num_classes]
+
+    area_i = hist(pred[pred == label])
+    area_p = hist(pred)
+    area_l = hist(label)
+    dt = np.asarray(state.intersect).dtype
+    return IoUState(
+        intersect=np.asarray(state.intersect) + area_i.astype(dt),
+        union=np.asarray(state.union) + (area_p + area_l - area_i).astype(dt),
+        pred_label=np.asarray(state.pred_label) + area_p.astype(dt),
+        label=np.asarray(state.label) + area_l.astype(dt),
+    )
+
+
 def compute_iou(state: IoUState) -> dict[str, np.ndarray | float]:
     """mIoU/mAcc/aAcc over classes present in the GT
     (iou_metric.py:102-162: nan classes excluded via nanmean)."""

@@ -70,6 +70,27 @@ def semantic_to_instances(sem_seg: jax.Array, num_classes: int,
     )
 
 
+def classification_targets(matched_q: jax.Array, gt_labels: jax.Array,
+                           nq: int, num_classes: int) -> jax.Array:
+    """Per-query class targets from a (possibly invalid) assignment.
+
+    matched_q [B, G] (query index, or <0 for unmatched/padded GT rows);
+    gt_labels [B, G].  Returns [B, nq] int32 where matched queries get
+    their GT label and everything else gets background (``num_classes``).
+
+    Invalid rows are routed to the out-of-bounds index ``nq`` and DROPPED
+    by the scatter (mode='drop') — aliasing them to a real query would
+    clobber that query's matched label (duplicate scatter indices have
+    unspecified order).  Ref: maskformer_head.py:352-357 writes only
+    matched (pos) slots.
+    """
+    b = matched_q.shape[0]
+    drop_q = jnp.where(matched_q >= 0, matched_q, nq)
+    return jnp.full((b, nq), num_classes, jnp.int32).at[
+        jnp.arange(b)[:, None], drop_q
+    ].set(gt_labels.astype(jnp.int32), mode="drop")
+
+
 def _layer_loss(cls_scores, mask_preds, gt: GroundTruth, *,
                 num_classes: int, class_weight, matcher: str,
                 focal_weight: float, dice_weight: float,
@@ -104,12 +125,8 @@ def _layer_loss(cls_scores, mask_preds, gt: GroundTruth, *,
     matched_q = jnp.where(gt.valid, matched_q, -1)
 
     # ---- classification targets ----
-    # default: background class (num_classes); matched queries get gt labels
+    labels = classification_targets(matched_q, gt.labels, nq, num_classes)
     safe_q = jnp.where(matched_q >= 0, matched_q, 0)
-    updates = jnp.where(matched_q >= 0, gt.labels, num_classes)
-    labels = jnp.full((b, nq), num_classes, jnp.int32).at[
-        jnp.arange(b)[:, None], safe_q
-    ].set(jnp.where(matched_q >= 0, updates, num_classes))
 
     loss_cls = weighted_cross_entropy(
         cls_scores.reshape(b * nq, -1), labels.reshape(-1), class_weight)
@@ -145,8 +162,10 @@ def _layer_loss(cls_scores, mask_preds, gt: GroundTruth, *,
         weight=pair_w[..., None, None],
         avg_factor=num_total_masks * lh * lw)
 
-    return dict(loss_cls=loss_cls, loss_mask=loss_focal * 20.0,
-                loss_dice=loss_dice)
+    # Scale by the configured weights (the same ones the matcher uses) so
+    # non-default focal/dice weights never desync costs from losses.
+    return dict(loss_cls=loss_cls, loss_mask=loss_focal * focal_weight,
+                loss_dice=loss_dice * dice_weight)
 
 
 def maskformer_loss(

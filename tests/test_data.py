@@ -88,3 +88,9 @@ def test_eval_batches_divisor(ade_root):
     img, seg, metas = next(eval_batches(ds, scale=(128, 96)))
     assert img.shape[1] % 32 == 0 and img.shape[2] % 32 == 0
     assert seg is not None
+    # GT stays at ORIGINAL resolution (reference scoring protocol); metas
+    # carry everything postprocess_pred needs.
+    m = metas[0]
+    assert seg.shape[1:] == tuple(m["ori_shape"])
+    assert "pad_shape" in m and "img_shape" in m
+    assert m["pad_shape"][0] <= img.shape[1]

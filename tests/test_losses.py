@@ -114,6 +114,50 @@ def test_semantic_to_instances():
     np.testing.assert_allclose(np.asarray(gt.masks[0, slot2]).sum(), 32)
 
 
+def test_classification_targets_query0_not_clobbered():
+    """Regression: a GT matched to query 0 must keep its label even when
+    padded/unmatched GT slots exist (the old scatter aliased invalid rows
+    to query 0 and could overwrite it with background)."""
+    from spike2former_tpu.losses import classification_targets
+
+    # one image, 4 queries, 3 GT slots: slot0 -> query0 (label 3),
+    # slot1 -> query 2 (label 1), slot2 padded (unmatched).
+    matched_q = jnp.asarray([[0, 2, -1]], jnp.int32)
+    gt_labels = jnp.asarray([[3, 1, 7]], jnp.int32)
+    out = np.asarray(jax.jit(
+        lambda mq, gl: classification_targets(mq, gl, nq=4, num_classes=5)
+    )(matched_q, gt_labels))
+    np.testing.assert_array_equal(out[0], [3, 5, 1, 5])
+
+
+def test_criterion_weights_scale_losses():
+    """focal/dice weights must scale the actual losses, not just the
+    matching costs."""
+    # Unambiguous matching (query 2i+1 predicts gt mask i exactly) so the
+    # assignment is invariant to the weight scaling under test.
+    rng = np.random.default_rng(7)
+    gm = (rng.uniform(size=(1, 3, 16, 16)) > 0.5).astype(np.float32)
+    masks = np.full((1, 6, 16, 16), -8.0, np.float32)
+    for i in range(3):
+        masks[0, 2 * i + 1] = np.where(gm[0, i] > 0, 8.0, -8.0)
+    gl = np.asarray([[0, 1, 2]], np.int32)
+    valid = np.ones((1, 3), bool)
+    cls = np.zeros((1, 6, 5), np.float32)
+    gt = GroundTruth(jnp.asarray(gl), jnp.asarray(gm), jnp.asarray(valid))
+    all_cls = jnp.asarray(cls)[None]
+    all_masks = jnp.asarray(masks)[None]
+    l1 = maskformer_loss(all_cls, all_masks, gt, num_classes=4,
+                         matcher="auction", focal_weight=20.0,
+                         dice_weight=1.0)
+    l2 = maskformer_loss(all_cls, all_masks, gt, num_classes=4,
+                         matcher="auction", focal_weight=40.0,
+                         dice_weight=2.0)
+    np.testing.assert_allclose(float(l2["loss_mask"]),
+                               2 * float(l1["loss_mask"]), rtol=1e-5)
+    np.testing.assert_allclose(float(l2["loss_dice"]),
+                               2 * float(l1["loss_dice"]), rtol=1e-5)
+
+
 def test_maskformer_loss_end_to_end():
     cls, masks, gl, gm, valid = _random_problem(5)
     L = 2

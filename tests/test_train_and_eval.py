@@ -63,6 +63,45 @@ def test_iou_metric_perfect_and_mismatch():
     np.testing.assert_allclose(res["mIoU"], 50.0)
 
 
+def test_update_iou_np_matches_jit():
+    from spike2former_tpu.evaluation import update_iou_np
+
+    rng = np.random.default_rng(3)
+    pred = rng.integers(0, 5, (1, 17, 23)).astype(np.int32)
+    label = rng.integers(0, 5, (1, 17, 23)).astype(np.int32)
+    label[0, :3, :3] = 255
+    a = update_iou(init_iou(5), jnp.asarray(pred), jnp.asarray(label), 5)
+    b = update_iou_np(init_iou(5), pred, label, 5)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_train_checkpoint_restores_into_eval_variables(tmp_path):
+    """Regression (ADVICE round 1): a TrainState checkpoint written by the
+    training CLI must load in the eval CLI's {params, batch_stats} shape."""
+    from spike2former_tpu.engine.checkpoint import (
+        restore_variables, save_state)
+
+    model = tiny_model()
+    imgs = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    tx = make_optimizer(
+        model.init(jax.random.PRNGKey(0), imgs, True)["params"])
+    state = init_state(model, tx, jax.random.PRNGKey(0), imgs)
+    path = save_state(str(tmp_path), state, 7)
+
+    variables = model.init(jax.random.PRNGKey(1), imgs)
+    restored = restore_variables(path, variables)
+    leaves_a = jax.tree_util.tree_leaves(restored["params"])
+    leaves_b = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    assert len(leaves_a) == len(leaves_b)
+    for x, y in zip(leaves_a, leaves_b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+    # restored variables actually run inference
+    out = model.apply({"params": restored["params"],
+                       "batch_stats": restored["batch_stats"]}, imgs)
+    assert np.isfinite(np.asarray(out[0])).all()
+
+
 def test_slide_matches_whole_when_single_window():
     model = tiny_model()
     x = jnp.zeros((1, 32, 32, 3))

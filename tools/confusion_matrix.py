@@ -28,8 +28,8 @@ def main():
     import numpy as np
 
     from spike2former_tpu.data import eval_batches, make_dataset
-    from spike2former_tpu.engine import whole_logits
-    from spike2former_tpu.engine.checkpoint import restore_state
+    from spike2former_tpu.engine import postprocess_pred, whole_logits
+    from spike2former_tpu.engine.checkpoint import restore_variables
     from spike2former_tpu.engine.config import build_model, get_config
 
     cfg = get_config(args.config, args.cfg_options)
@@ -43,15 +43,16 @@ def main():
         jax.random.PRNGKey(0),
         jnp.zeros((1, *cfg.data.crop_size, 3), jnp.float32))
     if args.checkpoint:
-        variables = restore_state(args.checkpoint, variables)
+        variables = restore_variables(args.checkpoint, variables)
 
     cm = np.zeros((k, k), np.int64)
     n = 0
-    for images, sem, _ in eval_batches(ds, scale=cfg.data.test_scale,
-                                       size_divisor=cfg.data.size_divisor):
-        pred = np.asarray(
-            jnp.argmax(whole_logits(model, variables, jnp.asarray(images)),
-                       -1))
+    for images, sem, metas in eval_batches(
+            ds, scale=cfg.data.test_scale,
+            size_divisor=cfg.data.size_divisor):
+        logits = whole_logits(model, variables, jnp.asarray(images))
+        pred = np.asarray(postprocess_pred(
+            logits, metas[0].get("pad_shape"), metas[0]["ori_shape"]))
         gt = np.asarray(sem)
         valid = gt != 255
         idx = gt[valid] * k + pred[valid]

@@ -28,11 +28,12 @@ def main():
     import numpy as np
 
     from spike2former_tpu.data import eval_batches, make_dataset
-    from spike2former_tpu.engine import slide_logits, whole_logits
-    from spike2former_tpu.engine.checkpoint import restore_state
+    from spike2former_tpu.engine import (
+        postprocess_pred, slide_logits, whole_logits)
+    from spike2former_tpu.engine.checkpoint import restore_variables
     from spike2former_tpu.engine.config import build_model, get_config
     from spike2former_tpu.evaluation import (
-        compute_iou, init_iou, update_iou)
+        compute_iou, init_iou, update_iou_np)
 
     cfg = get_config(args.config, args.cfg_options)
     if args.data_root:
@@ -44,7 +45,7 @@ def main():
     sample = jnp.zeros((1, *cfg.data.crop_size, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), sample)
     if args.checkpoint:
-        variables = restore_state(args.checkpoint, variables)
+        variables = restore_variables(args.checkpoint, variables)
 
     num_classes = cfg.model.num_classes
     iou = init_iou(num_classes)
@@ -58,8 +59,13 @@ def main():
                                   num_classes)
         else:
             logits = whole_logits(model, variables, jnp.asarray(images))
-        pred = jnp.argmax(logits, -1)
-        iou = update_iou(iou, pred, jnp.asarray(sem), num_classes)
+        # reference protocol: unpad, resize logits back to the original image
+        # shape, argmax, score vs full-resolution GT (BaseSegmentor.
+        # postprocess_result, base.py:127-200).
+        meta = metas[0]
+        pred = postprocess_pred(logits, meta.get("pad_shape"),
+                                meta["ori_shape"])
+        iou = update_iou_np(iou, np.asarray(pred), sem, num_classes)
         if args.show_dir:
             import os as _os
 
@@ -68,8 +74,8 @@ def main():
             from spike2former_tpu.evaluation.visualize import draw_sem_seg
 
             _os.makedirs(args.show_dir, exist_ok=True)
-            overlay = draw_sem_seg(images[0].astype(np.uint8),
-                                   np.asarray(pred[0], np.int32))
+            disp = np.asarray(jnp.argmax(logits, -1)[0], np.int32)
+            overlay = draw_sem_seg(images[0].astype(np.uint8), disp)
             Image.fromarray(overlay).save(
                 _os.path.join(args.show_dir, f"pred_{n:05d}.png"))
         n += 1

@@ -17,9 +17,12 @@ def evaluate(cfg, model, state, max_images):
     """Periodic validation (mmengine val loop + save_best equivalent)."""
     import jax.numpy as jnp
 
+    import numpy as np
+
     from spike2former_tpu.data import eval_batches, make_dataset
-    from spike2former_tpu.engine import whole_logits
-    from spike2former_tpu.evaluation import compute_iou, init_iou, update_iou
+    from spike2former_tpu.engine import postprocess_pred, whole_logits
+    from spike2former_tpu.evaluation import (
+        compute_iou, init_iou, update_iou_np)
 
     try:
         ds = make_dataset(cfg.data.dataset, cfg.data.data_root, "val")
@@ -28,14 +31,16 @@ def evaluate(cfg, model, state, max_images):
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     iou = init_iou(cfg.model.num_classes)
     n = 0
-    for images, sem, _ in eval_batches(
+    for images, sem, metas in eval_batches(
             ds, scale=cfg.data.test_scale,
             size_divisor=cfg.data.size_divisor):
         if sem is None:
             continue
         logits = whole_logits(model, variables, jnp.asarray(images))
-        iou = update_iou(iou, jnp.argmax(logits, -1), jnp.asarray(sem),
-                         cfg.model.num_classes)
+        pred = postprocess_pred(logits, metas[0].get("pad_shape"),
+                                metas[0]["ori_shape"])
+        iou = update_iou_np(iou, np.asarray(pred), sem,
+                            cfg.model.num_classes)
         n += 1
         if n >= max_images:
             break
