@@ -96,6 +96,35 @@ def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
     return out
 
 
+def load_torch_state_dict_raw(path: str) -> dict[str, np.ndarray]:
+    """Like ``load_torch_state_dict`` but keeps the module prefixes
+    (``backbone.``/``decode_head.``) — needed by the full-model converter."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("state_dict", "model"):
+        if isinstance(ckpt, dict) and key in ckpt:
+            ckpt = ckpt[key]
+            break
+    return {k: (v.detach().numpy() if hasattr(v, "detach") else
+                np.asarray(v)) for k, v in ckpt.items()}
+
+
+def load_reference_model(path: str, *, depths_stage3: int = 6,
+                         depths_stage4: int = 2, num_encoder_layers: int = 6,
+                         num_decoder_layers: int = 6):
+    """Load a FULL reference EncoderDecoder checkpoint (the ``load_from``
+    flow, tools/test.py:104) into flax variables for
+    ``Spike2Former(compat=True)``."""
+    from .convert import convert_spike2former
+
+    sd = load_torch_state_dict_raw(path)
+    return convert_spike2former(
+        sd, depths_stage3=depths_stage3, depths_stage4=depths_stage4,
+        num_encoder_layers=num_encoder_layers,
+        num_decoder_layers=num_decoder_layers)
+
+
 def load_reference_backbone(path: str, variables, depths_stage3: int = 6,
                             depths_stage4: int = 2):
     """Load a reference torch checkpoint into a model's backbone subtree

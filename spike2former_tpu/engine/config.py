@@ -33,6 +33,7 @@ class ModelConfig:
     neck_channels: int = 256          # fpn only
     head_channels: int = 128          # fpn only
     neuron: str = "lif"               # fpn only
+    compat: bool = False              # reference-exact layout quirks
     dtype: str = "float32"
 
 
@@ -98,7 +99,7 @@ def build_model(cfg: ModelConfig):
         num_decoder_layers=cfg.num_decoder_layers,
         num_encoder_layers=cfg.num_encoder_layers,
         depths_stage3=cfg.depths_stage3, depths_stage4=cfg.depths_stage4,
-        dcn_group=cfg.dcn_group, dtype=dtype)
+        dcn_group=cfg.dcn_group, compat=cfg.compat, dtype=dtype)
 
 
 def apply_overrides(cfg: Config, options: list[str]) -> Config:

@@ -170,17 +170,47 @@ class LinearSpikeMHA(nn.Module):
 
 class MSDAFFN(nn.Module):
     """Spiking FFN: spike→1x1(→ffn)→BN→spike→1x1(→C)→BN.  No residual inside
-    — the caller adds it (detr_layers.py:554-556)."""
+    — the caller adds it (detr_layers.py:554-556).
+
+    ``compat=True`` reproduces the reference's layout bit-exactly, which is
+    REQUIRED to run converted reference checkpoints:
+    * token inputs [T,B,N,C] (MSDA_FFN, transformer.py:777-781): the ref
+      moves to channel-major with ``reshape`` instead of ``transpose``, so
+      the convs see a fixed (token, channel) shuffle; the output is
+      un-shuffled by the mirror reshape.
+    * spatial inputs [T,B,H,W,C] (MS_MLP, transformer.py:815-831): the move
+      IN is a real permute, but the output ``[tb,C,N] -> (T,B,H,W,C)`` is a
+      plain reshape — a channels-first tensor reinterpreted channels-last.
+    The trained weights encode these permutations, so compat mode replays
+    them.  Param shapes/names are identical in both modes (the internal
+    compute stays channels-last for the MXU; only cheap reshapes differ).
+    """
 
     embed_dims: int = 256
     feedforward_channels: int = 2048
     spike: str = "qspike"
+    compat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         xf, t = fold_t(x)
         xf = Spike(self.spike)(xf)
+
+        spatial = xf.ndim == 4
+        if self.compat:
+            tb, c = xf.shape[0], xf.shape[-1]
+            if spatial:
+                h, w = xf.shape[1], xf.shape[2]
+                # real transpose in (torch permute+contiguous, :825)
+                xf = jnp.swapaxes(xf.reshape(tb, h * w, c), 1, 2)
+            else:
+                n = xf.shape[1]
+                # quirky reinterpret in (torch reshape, :777)
+                xf = xf.reshape(tb, c, n)
+            # channels live on axis 1 now; compute channels-last via swaps
+            xf = jnp.swapaxes(xf, 1, 2)
+
         xf = nn.Conv(self.feedforward_channels, (1,), use_bias=True,
                      dtype=self.dtype)(xf)
         xf = BatchNorm(use_running_average=not train)(xf)
@@ -188,6 +218,12 @@ class MSDAFFN(nn.Module):
         xf = nn.Conv(self.embed_dims, (1,), use_bias=True,
                      dtype=self.dtype)(xf)
         xf = BatchNorm(use_running_average=not train)(xf)
+
+        if self.compat:
+            xf = jnp.swapaxes(xf, 1, 2)  # back to [(tb), C, N']
+            # quirky reinterpret out (torch reshape, :781 / :831)
+            xf = (xf.reshape(tb, h, w, c) if spatial
+                  else xf.reshape(tb, n, c))
         return unfold_t(xf, t)
 
 

@@ -31,6 +31,7 @@ class DCNv3(nn.Module):
     expansion_ratio: int = 2
     dw_kernel_size: int = 5
     spike: str = "qspike"
+    compat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -63,6 +64,18 @@ class DCNv3(nn.Module):
         mask = nn.Conv(g * p, (1, 1), use_bias=True, kernel_init=zeros,
                        dtype=self.dtype, name="mask_conv")(x1f)
         mask = BatchNorm(use_running_average=not train, name="mask_bn")(mask)
+        if self.compat:
+            # Reference quirk (modules/dcnv3.py:213-215): the offset/mask
+            # heads run channels-FIRST and their outputs are reinterpreted
+            # channels-last with a plain reshape — a fixed (channel, spatial)
+            # shuffle the trained weights encode.  Replay it exactly.
+            def _cf_reshuffle(y):
+                tb = y.shape[0]
+                return jnp.transpose(y, (0, 3, 1, 2)).reshape(
+                    tb, h, w, y.shape[-1])
+
+            offset = _cf_reshuffle(offset)
+            mask = _cf_reshuffle(mask)
         mask = Spike(self.spike)(mask)
 
         valf, _ = fold_t(value)

@@ -47,6 +47,7 @@ class MaskFormerHead(nn.Module):
     dw_kernel_size: int = 5
     alpha: float = 4.0
     spike: str = "qspike"
+    compat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -63,7 +64,7 @@ class MaskFormerHead(nn.Module):
             num_encoder_layers=self.num_encoder_layers,
             feedforward_channels=self.encoder_ffn_channels,
             group=self.dcn_group, dw_kernel_size=self.dw_kernel_size,
-            spike=self.spike, dtype=self.dtype,
+            spike=self.spike, compat=self.compat, dtype=self.dtype,
             name="pixel_decoder")(feats, train)
 
         t, b = memory.shape[0], memory.shape[1]
@@ -96,7 +97,8 @@ class MaskFormerHead(nn.Module):
             query = DetrDecoderLayer(
                 embed_dims=c, num_heads=self.num_heads,
                 feedforward_channels=self.decoder_ffn_channels,
-                spike=self.spike, dtype=self.dtype, name=f"decoder_{i}")(
+                spike=self.spike, compat=self.compat, dtype=self.dtype,
+                name=f"decoder_{i}")(
                 query, decoder_inputs[lvl], decoder_inputs[lvl],
                 qpos, decoder_pes[lvl], train=train)
             out_dec.append(query)

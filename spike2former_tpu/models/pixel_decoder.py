@@ -35,6 +35,7 @@ class DCNEncoderLayer(nn.Module):
     dw_kernel_size: int = 5
     layer_scale: float = 1e-6
     spike: str = "qspike"
+    compat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -51,10 +52,10 @@ class DCNEncoderLayer(nn.Module):
         x = x + gamma("gamma2") * DCNv3(
             channels=self.embed_dims, group=self.group,
             dw_kernel_size=self.dw_kernel_size, spike=self.spike,
-            dtype=self.dtype, name="dcn")(x, train)
+            compat=self.compat, dtype=self.dtype, name="dcn")(x, train)
         x = x + gamma("gamma3") * MSDAFFN(
             self.embed_dims, self.feedforward_channels, spike=self.spike,
-            dtype=self.dtype, name="ffn")(x, train)
+            compat=self.compat, dtype=self.dtype, name="ffn")(x, train)
         return x
 
 
@@ -69,6 +70,7 @@ class DCNPixelDecoder(nn.Module):
     group: int = 32
     dw_kernel_size: int = 5
     spike: str = "qspike"
+    compat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -85,8 +87,8 @@ class DCNPixelDecoder(nn.Module):
         for i in range(self.num_encoder_layers):
             x = DCNEncoderLayer(
                 self.feat_channels, self.feedforward_channels, self.group,
-                self.dw_kernel_size, spike=self.spike, dtype=self.dtype,
-                name=f"encoder_{i}")(x, train)
+                self.dw_kernel_size, spike=self.spike, compat=self.compat,
+                dtype=self.dtype, name=f"encoder_{i}")(x, train)
         memory = x
         memory = Spike(self.spike, name="out_spike")(memory)
         yf, _ = fold_t(memory)

@@ -48,6 +48,7 @@ class Spike2Former(nn.Module):
     depths_stage3: int = 6
     depths_stage4: int = 2
     dcn_group: int = 32
+    compat: bool = False  # reference-exact layout quirks (for converted ckpts)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -65,7 +66,7 @@ class Spike2Former(nn.Module):
             num_decoder_layers=self.num_decoder_layers,
             num_encoder_layers=self.num_encoder_layers,
             dcn_group=min(self.dcn_group, self.feat_channels),
-            spike="qspike", dtype=self.dtype)
+            spike="qspike", compat=self.compat, dtype=self.dtype)
 
     def __call__(self, images: jax.Array, train: bool = False):
         """images: [B, H, W, 3] normalized.  Returns (cls_scores, mask_preds)

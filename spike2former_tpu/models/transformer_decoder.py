@@ -21,6 +21,7 @@ class DetrDecoderLayer(nn.Module):
     num_heads: int = 8
     feedforward_channels: int = 2048
     spike: str = "qspike"
+    compat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -43,5 +44,5 @@ class DetrDecoderLayer(nn.Module):
 
         query = query + MSDAFFN(
             self.embed_dims, self.feedforward_channels, spike=self.spike,
-            dtype=self.dtype, name="ffn")(query, train)
+            compat=self.compat, dtype=self.dtype, name="ffn")(query, train)
         return query

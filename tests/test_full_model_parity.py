@@ -1,0 +1,158 @@
+"""Full-model checkpoint conversion + end-to-end logit parity vs the torch
+golden (tests/torch_golden.py).
+
+This is the "scores, not should-score" harness the round-1 verdict asked
+for: a synthetic reference-format state_dict is converted by
+``engine/convert.py`` and the flax model (``compat=True``) must reproduce
+the torch golden's logits bit-closely through the ENTIRE network — backbone,
+DCN pixel decoder (incl. the reference's layout-reinterpret quirks), spiking
+DETR decoder, and the SDME output block.
+"""
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from spike2former_tpu.engine.convert import convert_spike2former
+from spike2former_tpu.models import Spike2Former
+from spike2former_tpu.models.maskformer_head import semantic_inference
+
+from torch_golden import GoldenSpike2Former, randomize_torch
+
+CFG = dict(num_classes=5, embed_dim=(8, 16, 24, 32), backbone_heads=4,
+           feat_channels=16, num_queries=4, num_decoder_layers=2,
+           num_encoder_layers=2, depths_stage3=1, depths_stage4=1,
+           dcn_group=4)
+
+
+def _paths(tree):
+    out = {}
+    for p, x in jax.tree_util.tree_leaves_with_path(tree):
+        key = "/".join(str(getattr(k, "key", k)) for k in p)
+        out[key] = np.asarray(x).shape
+    return out
+
+
+@pytest.fixture(scope="module")
+def golden_and_converted():
+    golden = GoldenSpike2Former(
+        num_classes=CFG["num_classes"], embed_dim=CFG["embed_dim"],
+        heads=CFG["backbone_heads"], T=1, feat=CFG["feat_channels"],
+        num_queries=CFG["num_queries"], dec_layers=CFG["num_decoder_layers"],
+        enc_layers=CFG["num_encoder_layers"], group=CFG["dcn_group"],
+        depths_stage3=CFG["depths_stage3"],
+        depths_stage4=CFG["depths_stage4"])
+    randomize_torch(golden, seed=3)
+    sd = {k: v.detach().numpy() for k, v in golden.state_dict().items()}
+    converted = convert_spike2former(
+        sd, depths_stage3=CFG["depths_stage3"],
+        depths_stage4=CFG["depths_stage4"],
+        num_encoder_layers=CFG["num_encoder_layers"],
+        num_decoder_layers=CFG["num_decoder_layers"])
+    return golden, converted
+
+
+def test_converted_tree_matches_init_exactly(golden_and_converted):
+    """Every parameter & BN statistic of the flax model must be produced by
+    the converter — same paths, same shapes, nothing missing or extra."""
+    _, converted = golden_and_converted
+    model = Spike2Former(T=1, compat=True, **CFG)
+    init_vars = jax.device_get(
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))))
+
+    for col in ("params", "batch_stats"):
+        want = _paths(init_vars[col])
+        got = _paths(converted[col])
+        assert set(got) == set(want), (
+            f"{col}: missing={sorted(set(want) - set(got))[:5]} "
+            f"extra={sorted(set(got) - set(want))[:5]}")
+        for k in want:
+            assert got[k] == want[k], f"{col}/{k}: {got[k]} vs {want[k]}"
+
+
+@pytest.mark.parametrize("hw", [(32, 32), (64, 32)])
+def test_full_model_logit_parity(golden_and_converted, hw):
+    """Same weights through torch golden and flax (compat=True): final
+    decoder-layer cls scores, mask logits, and semantic logits must agree."""
+    golden, converted = golden_and_converted
+    model = Spike2Former(T=1, compat=True, **CFG)
+
+    rng = np.random.default_rng(0)
+    h, w = hw
+    x = rng.normal(0, 1, (1, 3, h, w)).astype(np.float32)
+
+    with torch.no_grad():
+        cls_t, mask_t = golden(torch.from_numpy(x))
+    cls_t = cls_t[-1].numpy()
+    mask_t = mask_t[-1].numpy()
+
+    x_j = jnp.asarray(x.transpose(0, 2, 3, 1))
+    cls_j, mask_j = model.apply(converted, x_j, False)
+    cls_j = np.asarray(cls_j[-1])
+    mask_j = np.asarray(mask_j[-1])
+
+    np.testing.assert_allclose(cls_j, cls_t, atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(mask_j, mask_t, atol=1e-3, rtol=1e-3)
+
+    # semantic-inference einsum on top (the eval surface)
+    sem_t = np.einsum(
+        "bqc,bqhw->bhwc",
+        torch.softmax(torch.from_numpy(cls_t), -1)[..., :-1].numpy(),
+        torch.sigmoid(torch.from_numpy(mask_t)).numpy())
+    sem_j = np.asarray(semantic_inference(jnp.asarray(cls_j),
+                                          jnp.asarray(mask_j)))
+    np.testing.assert_allclose(sem_j, sem_t, atol=1e-4, rtol=1e-3)
+
+
+def test_full_model_logit_parity_T2():
+    """Same as above with T=2: exercises the T-broadcast, T-folded BN
+    population, and the mean-over-T in cls scores and the mask einsum."""
+    golden = GoldenSpike2Former(
+        num_classes=CFG["num_classes"], embed_dim=CFG["embed_dim"],
+        heads=CFG["backbone_heads"], T=2, feat=CFG["feat_channels"],
+        num_queries=CFG["num_queries"], dec_layers=CFG["num_decoder_layers"],
+        enc_layers=CFG["num_encoder_layers"], group=CFG["dcn_group"],
+        depths_stage3=CFG["depths_stage3"],
+        depths_stage4=CFG["depths_stage4"])
+    randomize_torch(golden, seed=11)
+    sd = {k: v.detach().numpy() for k, v in golden.state_dict().items()}
+    converted = convert_spike2former(
+        sd, depths_stage3=CFG["depths_stage3"],
+        depths_stage4=CFG["depths_stage4"],
+        num_encoder_layers=CFG["num_encoder_layers"],
+        num_decoder_layers=CFG["num_decoder_layers"])
+    model = Spike2Former(T=2, compat=True, **CFG)
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(0, 1, (1, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        cls_t, mask_t = golden(torch.from_numpy(x))
+    cls_j, mask_j = model.apply(
+        converted, jnp.asarray(x.transpose(0, 2, 3, 1)), False)
+    np.testing.assert_allclose(np.asarray(cls_j[-1]), cls_t[-1].numpy(),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(mask_j[-1]), mask_t[-1].numpy(),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_compat_mode_is_load_bearing(golden_and_converted):
+    """Sanity: running converted reference weights WITHOUT compat mode must
+    NOT reproduce the golden (otherwise the quirk replay silently became a
+    no-op and the parity test above proves nothing)."""
+    golden, converted = golden_and_converted
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (1, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        _, mask_t = golden(torch.from_numpy(x))
+    mask_t = mask_t[-1].numpy()
+
+    model = Spike2Former(T=1, compat=False, **CFG)
+    _, mask_j = model.apply(converted, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                            False)
+    assert not np.allclose(np.asarray(mask_j[-1]), mask_t, atol=1e-3)

@@ -12,6 +12,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("config")
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--torch-checkpoint", default=None,
+                    help="reference .pth EncoderDecoder checkpoint; implies "
+                         "model.compat=True (layout-quirk replay)")
     ap.add_argument("--data-root", default=None)
     ap.add_argument("--max-images", type=int, default=None)
     ap.add_argument("--show-dir", default=None,
@@ -38,14 +41,26 @@ def main():
     cfg = get_config(args.config, args.cfg_options)
     if args.data_root:
         cfg.data.data_root = args.data_root
+    if args.torch_checkpoint:
+        cfg.model.compat = True
 
     model = build_model(cfg.model)
     ds = make_dataset(cfg.data.dataset, cfg.data.data_root, "val")
 
-    sample = jnp.zeros((1, *cfg.data.crop_size, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), sample)
-    if args.checkpoint:
-        variables = restore_variables(args.checkpoint, variables)
+    if args.torch_checkpoint:
+        from spike2former_tpu.engine.checkpoint import load_reference_model
+
+        variables = load_reference_model(
+            args.torch_checkpoint,
+            depths_stage3=cfg.model.depths_stage3,
+            depths_stage4=cfg.model.depths_stage4,
+            num_encoder_layers=cfg.model.num_encoder_layers,
+            num_decoder_layers=cfg.model.num_decoder_layers)
+    else:
+        sample = jnp.zeros((1, *cfg.data.crop_size, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), sample)
+        if args.checkpoint:
+            variables = restore_variables(args.checkpoint, variables)
 
     num_classes = cfg.model.num_classes
     iou = init_iou(num_classes)
