@@ -34,6 +34,7 @@ class ModelConfig:
     head_channels: int = 128          # fpn only
     neuron: str = "lif"               # fpn only
     compat: bool = False              # reference-exact layout quirks
+    norm_eval: bool = True            # freeze backbone BN in training
     dtype: str = "float32"
 
 
@@ -99,7 +100,8 @@ def build_model(cfg: ModelConfig):
         num_decoder_layers=cfg.num_decoder_layers,
         num_encoder_layers=cfg.num_encoder_layers,
         depths_stage3=cfg.depths_stage3, depths_stage4=cfg.depths_stage4,
-        dcn_group=cfg.dcn_group, compat=cfg.compat, dtype=dtype)
+        dcn_group=cfg.dcn_group, compat=cfg.compat,
+        norm_eval=cfg.norm_eval, dtype=dtype)
 
 
 def apply_overrides(cfg: Config, options: list[str]) -> Config:

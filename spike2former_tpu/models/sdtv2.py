@@ -145,12 +145,18 @@ class SpikingMetaFormer(nn.Module):
     variant: str = "sdtv2"
     depths_stage3: int = 6
     depths_stage4: int = 2
+    norm_eval: bool = False
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, images: jax.Array, train: bool = False):
         """images: [B, H, W, 3] -> list of 4 pyramid levels [T,B,h,w,c]."""
+        # norm_eval: the reference trains with every backbone BN in eval mode
+        # (sdtv2.py:571-575 `m.eval()` in _init_weights; config norm_eval=
+        # True) — running statistics frozen, affine params still trained.
+        # `train` only gates BN here, so clearing it is exactly that.
+        train = train and not self.norm_eval
         # Optional rematerialization (jax.checkpoint) per block: trades
         # recompute for activation memory during training (the AvoidCUDAOOM
         # role of mmdet/utils/memory.py, done the XLA way).

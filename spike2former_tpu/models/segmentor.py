@@ -49,6 +49,7 @@ class Spike2Former(nn.Module):
     depths_stage4: int = 2
     dcn_group: int = 32
     compat: bool = False  # reference-exact layout quirks (for converted ckpts)
+    norm_eval: bool = True  # freeze backbone BN stats in training (config :41)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -56,7 +57,8 @@ class Spike2Former(nn.Module):
         self.backbone = SpikingMetaFormer(
             embed_dim=e, num_heads=self.backbone_heads, T=self.T,
             variant=self.variant, depths_stage3=self.depths_stage3,
-            depths_stage4=self.depths_stage4, dtype=self.dtype)
+            depths_stage4=self.depths_stage4, norm_eval=self.norm_eval,
+            dtype=self.dtype)
         self.head = MaskFormerHead(
             in_channels=(e[0] // 2, e[0], e[1], e[3]),
             feat_channels=self.feat_channels,

@@ -1,5 +1,11 @@
 """End-to-end learning test: the full pipeline (model + Hungarian matching
-+ losses + optimizer) must actually fit a trivial segmentation task."""
++ losses + optimizer) must actually fit a trivial segmentation task.
+
+With ``norm_eval=True`` (the reference's frozen-backbone-BN training recipe,
+sdtv2.py:571-575 / config :41 — now the default) the toy task converges to
+~100% pixel accuracy from random init; round 1 could only show loss descent
+because live BN statistics degenerate at toy scale.
+"""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -13,6 +19,7 @@ def test_overfits_two_class_task():
         num_classes=2, embed_dim=(8, 16, 24, 32), backbone_heads=4, T=1,
         feat_channels=16, num_queries=4, num_decoder_layers=1,
         num_encoder_layers=1, depths_stage3=1, depths_stage4=1, dcn_group=4)
+    assert model.norm_eval  # the reference training recipe is the default
 
     # left half = class 0 & dark, right half = class 1 & bright
     b, hw = 2, 32
@@ -25,29 +32,50 @@ def test_overfits_two_class_task():
 
     tx = make_optimizer(
         model.init(jax.random.PRNGKey(0), images_j, True)["params"],
-        base_lr=2e-3, warmup_iters=10, total_iters=200, clip_norm=1.0)
+        base_lr=2e-3, warmup_iters=10, total_iters=400, clip_norm=1.0)
     state = init_state(model, tx, jax.random.PRNGKey(0), images_j)
     step = jax.jit(make_train_step(model, tx, num_classes=2, max_gt=4))
 
-    first = mask_first = None
-    for i in range(150):
+    first = None
+    for i in range(300):
         state, metrics = step(state, images_j, sem_j)
         if first is None:
             first = float(metrics["total"])
-            mask_first = float(metrics["loss_mask"])
     last = float(metrics["total"])
-    mask_last = float(metrics["loss_mask"])
     assert np.isfinite(last)
-    # At toy scale the 2x2 stage-3 maps give degenerate BN statistics
-    # (quantized spikes + 8-sample batches), so full convergence is not
-    # expected from random init — the reference always starts from a
-    # pretrained backbone.  Assert robust descent of the total and of the
-    # Hungarian-matched mask loss instead.
-    assert last < first * 0.92, (first, last)
-    assert mask_last < mask_first * 0.85, (mask_first, mask_last)
+    assert last < first * 0.25, (first, last)
 
-    # the eval path must still produce sane outputs
+    # REAL convergence: the eval path must segment the toy task correctly.
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     logits = model.apply(variables, (images_j - 127.5) / 58.0,
                          method=Spike2Former.predict_logits)
-    assert np.isfinite(np.asarray(logits)).all()
+    acc = float((jnp.argmax(logits, -1) == sem_j).mean())
+    assert acc >= 0.95, f"toy pixel accuracy {acc}"
+
+
+def test_norm_eval_freezes_backbone_stats():
+    """Backbone BN running stats must not move during training while head
+    BN stats do (the reference's norm_eval semantics)."""
+    model = Spike2Former(
+        num_classes=2, embed_dim=(8, 16, 24, 32), backbone_heads=4, T=1,
+        feat_channels=16, num_queries=4, num_decoder_layers=1,
+        num_encoder_layers=1, depths_stage3=1, depths_stage4=1, dcn_group=4)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 255, (2, 32, 32, 3)), jnp.float32)
+    sem = jnp.asarray(rng.integers(0, 2, (2, 32, 32)), jnp.int32)
+
+    tx = make_optimizer(model.init(jax.random.PRNGKey(0), images,
+                                   True)["params"])
+    state = init_state(model, tx, jax.random.PRNGKey(0), images)
+    step = jax.jit(make_train_step(model, tx, num_classes=2, max_gt=4))
+    state2, _ = step(state, images, sem)
+
+    def max_delta(a, b):
+        d = jax.tree_util.tree_map(
+            lambda x, y: float(jnp.abs(x - y).max()), a, b)
+        return max(jax.tree_util.tree_leaves(d))
+
+    assert max_delta(state.batch_stats["backbone"],
+                     state2.batch_stats["backbone"]) == 0.0
+    assert max_delta(state.batch_stats["head"],
+                     state2.batch_stats["head"]) > 0.0
