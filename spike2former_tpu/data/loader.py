@@ -77,9 +77,15 @@ class TrainLoader:
 
 
 def eval_batches(dataset: SegDataset, batch_size: int = 1,
-                 scale=(2048, 512), size_divisor: int = 32):
+                 scale=(2048, 512), size_divisor: int = 32,
+                 bucket: int = 0):
     """Sequential eval iterator: yields (images [B,H,W,3] f32,
     sem_seg [B,H,W] i32 or None, metas).
+
+    ``bucket`` > 0 pads every image up to multiples of ``bucket`` (static
+    shape buckets — a handful of XLA compilations instead of one per
+    distinct keep-ratio shape); pass ``meta['img_shape']`` as ``valid_hw``
+    to ``whole_logits`` so padded tokens are masked.
 
     Following the reference protocol (mmseg BaseSegmentor.postprocess_result:
     predictions are resized back to the ORIGINAL image resolution and scored
@@ -94,7 +100,8 @@ def eval_batches(dataset: SegDataset, batch_size: int = 1,
         raw = dataset.load(i)
         ori_shape = raw["image"].shape[:2]
         ori_seg = raw.pop("sem_seg", None)  # keep GT at full resolution
-        s = test_pipeline(raw, scale, size_divisor=size_divisor)
+        s = test_pipeline(raw, scale, size_divisor=size_divisor,
+                          bucket=bucket)
         img = s["image"][None].astype(np.float32)
         seg = None if ori_seg is None else ori_seg[None].astype(np.int32)
         meta = dict(s["meta"], ori_shape=ori_shape)

@@ -225,10 +225,13 @@ def train_pipeline(sample: Sample, rng: np.random.Generator,
 
 def test_pipeline(sample: Sample, scale=(2048, 512),
                   pad_to_size: tuple[int, int] | None = None,
-                  size_divisor: int | None = 32) -> Sample:
+                  size_divisor: int | None = 32,
+                  bucket: int = 0) -> Sample:
     sample = resize_keep_ratio(sample, *scale)
     h, w = sample["image"].shape[:2]
-    if pad_to_size is None and size_divisor:
+    if bucket:
+        pad_to_size = (-(-h // bucket) * bucket, -(-w // bucket) * bucket)
+    elif pad_to_size is None and size_divisor:
         pad_to_size = (-(-h // size_divisor) * size_divisor,
                        -(-w // size_divisor) * size_divisor)
     if pad_to_size is not None:

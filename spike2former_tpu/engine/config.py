@@ -69,6 +69,7 @@ class TestConfig:
     mode: str = "whole"               # 'whole' | 'slide'
     crop_size: tuple = (512, 512)
     stride: tuple = (341, 341)
+    bucket: int = 128                 # eval shape bucketing (0 = exact+pad32)
 
 
 @dataclass

@@ -23,22 +23,41 @@ from ..ops.resize import resize_bilinear
 
 
 @functools.lru_cache(maxsize=64)
-def _jitted_whole(model):
-    def impl(variables, images_u8):
-        x = preprocess(images_u8)
-        return model.apply(variables, x, method=type(model).predict_logits)
+def _jitted_whole(model, with_valid):
+    if with_valid:
+        def impl(variables, images_u8, valid_hw):
+            x = preprocess(images_u8)
+            return model.apply(variables, x, valid_hw,
+                               method=type(model).predict_logits)
+    else:
+        def impl(variables, images_u8):
+            x = preprocess(images_u8)
+            return model.apply(variables, x,
+                               method=type(model).predict_logits)
 
     return jax.jit(impl)
 
 
-def whole_logits(model: Spike2Former, variables, images_u8: jax.Array
-                 ) -> jax.Array:
+def whole_logits(model: Spike2Former, variables, images_u8: jax.Array,
+                 valid_hw=None) -> jax.Array:
     """[B, H, W, 3] uint8 RGB → [B, H, W, num_classes] logits.
 
     The jitted implementation is cached per model (flax modules hash by
-    their static config), so repeated calls never retrace.
+    their static config), so repeated calls never retrace.  ``valid_hw``
+    ([B, 2] int array) marks the valid region of bucket-padded inputs — it
+    is a traced value, so all images sharing a bucket shape share ONE
+    compilation.
     """
-    return _jitted_whole(model)(variables, images_u8)
+    if valid_hw is None:
+        return _jitted_whole(model, False)(variables, images_u8)
+    return _jitted_whole(model, True)(
+        variables, images_u8, jnp.asarray(valid_hw, jnp.int32))
+
+
+def bucket_hw(h: int, w: int, multiple: int = 128) -> tuple[int, int]:
+    """Round spatial dims up to a bucket shape so keep-ratio eval images
+    share a handful of compilations instead of one per distinct (H, W)."""
+    return (-(-h // multiple) * multiple, -(-w // multiple) * multiple)
 
 
 @functools.lru_cache(maxsize=64)

@@ -27,7 +27,7 @@ from ..ops.spike import qspike
 from .attention import SpikeMLP3
 from .layers import BatchNorm, Spike, fold_t
 from .pixel_decoder import DCNPixelDecoder
-from .positional import sine_pe_for_shape
+from .positional import sine_pe_for_shape, sine_positional_encoding
 from .transformer_decoder import DetrDecoderLayer
 
 
@@ -51,8 +51,19 @@ class MaskFormerHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats: Sequence[jax.Array], train: bool = False):
+    def __call__(self, feats: Sequence[jax.Array], train: bool = False,
+                 valid_hw: jax.Array | None = None):
         """feats: 4-level pyramid [T,B,h,w,c].
+
+        ``valid_hw`` ([B, 2] int32, input-resolution valid extents) enables
+        static-shape bucketed eval: images are bottom-right padded to a
+        bucket shape, and here the padded tokens are (a) excluded from the
+        sine PE normalization (the reference's mask-cumsum form,
+        positional_encoding.py:73-81) and (b) masked out of the decoder's
+        cross-attention keys (masked scores zeroed, transformer.py:267-269)
+        — so the valid-region computation matches an exact-shape forward up
+        to local conv halo bleed (the same class of effect the reference's
+        size_divisor=32 padding has).
 
         Returns (all_cls_scores [L+1, B, nq, ncls+1],
                  all_mask_preds [L+1, B, nq, H/2, W/2]).
@@ -78,15 +89,29 @@ class MaskFormerHead(nn.Module):
             "level_embed", nn.initializers.normal(1.0),
             (self.num_feat_levels, c))
 
-        # per-level token inputs + positional encodings
-        decoder_inputs, decoder_pes = [], []
+        input_h = feats[0].shape[2] * 2  # feats[0] is the /2 level
+
+        # per-level token inputs + positional encodings (+ key pad masks)
+        decoder_inputs, decoder_pes, decoder_masks = [], [], []
         for i in range(self.num_feat_levels):
             lvl = multi_scale[i]  # [T,B,h,w,C]
             h, w = lvl.shape[2], lvl.shape[3]
             tokens = lvl.reshape(t, b, h * w, c) + level_embed[i]
-            pe = sine_pe_for_shape(h, w, c // 2).reshape(h * w, c)
+            if valid_hw is None:
+                pe = sine_pe_for_shape(h, w, c // 2).reshape(h * w, c)
+                decoder_pes.append(jnp.broadcast_to(pe, (b, h * w, c)))
+                decoder_masks.append(None)
+            else:
+                stride = input_h // h
+                vh = (valid_hw[:, 0] + stride - 1) // stride  # [B] ceil
+                vw = (valid_hw[:, 1] + stride - 1) // stride
+                pad = ((jnp.arange(h)[None, :, None] >= vh[:, None, None])
+                       | (jnp.arange(w)[None, None, :] >= vw[:, None, None]))
+                pe = sine_positional_encoding(
+                    pad.astype(jnp.float32), c // 2).reshape(b, h * w, c)
+                decoder_pes.append(pe)
+                decoder_masks.append(pad.reshape(b, 1, 1, h * w))
             decoder_inputs.append(tokens)
-            decoder_pes.append(jnp.broadcast_to(pe, (b, h * w, c)))
 
         query = jnp.broadcast_to(query_feat, (t, b, nq, c))
         qpos = jnp.broadcast_to(query_embed, (b, nq, c))
@@ -100,7 +125,8 @@ class MaskFormerHead(nn.Module):
                 spike=self.spike, compat=self.compat, dtype=self.dtype,
                 name=f"decoder_{i}")(
                 query, decoder_inputs[lvl], decoder_inputs[lvl],
-                qpos, decoder_pes[lvl], train=train)
+                qpos, decoder_pes[lvl],
+                cross_attn_mask=decoder_masks[lvl], train=train)
             out_dec.append(query)
 
         out = jnp.stack(out_dec)  # [L+1, T, B, nq, C]

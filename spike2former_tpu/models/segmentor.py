@@ -70,18 +70,22 @@ class Spike2Former(nn.Module):
             dcn_group=min(self.dcn_group, self.feat_channels),
             spike="qspike", compat=self.compat, dtype=self.dtype)
 
-    def __call__(self, images: jax.Array, train: bool = False):
+    def __call__(self, images: jax.Array, train: bool = False,
+                 valid_hw: jax.Array | None = None):
         """images: [B, H, W, 3] normalized.  Returns (cls_scores, mask_preds)
         — [L, B, nq, ncls+1], [L, B, nq, H/2, W/2] (L=7 in train, 1 in
-        eval)."""
+        eval).  ``valid_hw`` [B, 2]: valid extents for bucketed-padded
+        inputs (see MaskFormerHead)."""
         feats = self.backbone(images, train)
-        return self.head(feats, train)
+        return self.head(feats, train, valid_hw=valid_hw)
 
-    def predict_logits(self, images: jax.Array) -> jax.Array:
+    def predict_logits(self, images: jax.Array,
+                       valid_hw: jax.Array | None = None) -> jax.Array:
         """Whole-image semantic logits at input resolution
         (encoder_decoder.py whole_inference + the mmseg head shim's
         semantic-inference einsum): [B, H, W, num_classes]."""
-        cls_scores, mask_preds = self(images, train=False)
+        cls_scores, mask_preds = self(images, train=False,
+                                      valid_hw=valid_hw)
         mask = mask_preds[-1]  # [B, nq, h, w]
         b, nq, h, w = mask.shape
         hw = images.shape[1:3]

@@ -47,10 +47,26 @@ def test_overfits_two_class_task():
 
     # REAL convergence: the eval path must segment the toy task correctly.
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    logits = model.apply(variables, (images_j - 127.5) / 58.0,
+    norm = (images_j - 127.5) / 58.0
+    logits = model.apply(variables, norm,
                          method=Spike2Former.predict_logits)
     acc = float((jnp.argmax(logits, -1) == sem_j).mean())
     assert acc >= 0.95, f"toy pixel accuracy {acc}"
+
+    # Bucketed-eval mIoU neutrality: bottom-right pad to a 2x bucket with
+    # valid_hw masking (mask-aware PE + masked CA keys) must reproduce the
+    # exact-shape predictions on the valid region (up to conv halo bleed at
+    # the pad boundary — same class of effect as the reference's
+    # size_divisor=32 padding).
+    padded = jnp.pad(images_j, ((0, 0), (0, hw), (0, hw), (0, 0)))
+    logits_b = model.apply(
+        (variables), (padded - 127.5) / 58.0,
+        jnp.asarray([[hw, hw]] * b, jnp.int32),
+        method=Spike2Former.predict_logits)
+    pred_exact = np.asarray(jnp.argmax(logits, -1))
+    pred_bucket = np.asarray(jnp.argmax(logits_b, -1))[:, :hw, :hw]
+    agree = float((pred_exact == pred_bucket).mean())
+    assert agree >= 0.97, f"bucketed-eval agreement {agree}"
 
 
 def test_norm_eval_freezes_backbone_stats():

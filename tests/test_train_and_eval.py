@@ -102,6 +102,27 @@ def test_train_checkpoint_restores_into_eval_variables(tmp_path):
     assert np.isfinite(np.asarray(out[0])).all()
 
 
+def test_bucketed_eval_shares_one_compilation():
+    """Distinct keep-ratio shapes that land in the same bucket must reuse a
+    single XLA compilation (the whole point of shape bucketing)."""
+    from spike2former_tpu.engine.inference import _jitted_whole, bucket_hw
+
+    assert bucket_hw(40, 48, 64) == (64, 64)
+    assert bucket_hw(65, 128, 64) == (128, 128)
+
+    model = tiny_model()
+    vars_ = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    fn = _jitted_whole(model, True)
+    base = fn._cache_size()
+    rng = np.random.default_rng(0)
+    for (h, w) in [(40, 48), (56, 33)]:
+        bh, bw = bucket_hw(h, w, 64)
+        img = jnp.asarray(rng.integers(0, 255, (1, bh, bw, 3)), jnp.float32)
+        out = fn(vars_, img, jnp.asarray([[h, w]], jnp.int32))
+        assert out.shape == (1, bh, bw, 6)
+    assert fn._cache_size() == base + 1  # one bucket -> one compile
+
+
 def test_slide_matches_whole_when_single_window():
     model = tiny_model()
     x = jnp.zeros((1, 32, 32, 3))

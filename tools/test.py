@@ -67,13 +67,16 @@ def main():
     n = 0
     for images, sem, metas in eval_batches(
             ds, scale=cfg.data.test_scale,
-            size_divisor=cfg.data.size_divisor):
+            size_divisor=cfg.data.size_divisor,
+            bucket=0 if cfg.test.mode == "slide" else cfg.test.bucket):
         if cfg.test.mode == "slide":
             logits = slide_logits(model, variables, jnp.asarray(images),
                                   cfg.test.crop_size, cfg.test.stride,
                                   num_classes)
         else:
-            logits = whole_logits(model, variables, jnp.asarray(images))
+            valid = ([metas[0]["img_shape"]] if cfg.test.bucket else None)
+            logits = whole_logits(model, variables, jnp.asarray(images),
+                                  valid_hw=valid)
         # reference protocol: unpad, resize logits back to the original image
         # shape, argmax, score vs full-resolution GT (BaseSegmentor.
         # postprocess_result, base.py:127-200).

@@ -33,10 +33,12 @@ def evaluate(cfg, model, state, max_images):
     n = 0
     for images, sem, metas in eval_batches(
             ds, scale=cfg.data.test_scale,
-            size_divisor=cfg.data.size_divisor):
+            size_divisor=cfg.data.size_divisor, bucket=cfg.test.bucket):
         if sem is None:
             continue
-        logits = whole_logits(model, variables, jnp.asarray(images))
+        valid = ([metas[0]["img_shape"]] if cfg.test.bucket else None)
+        logits = whole_logits(model, variables, jnp.asarray(images),
+                              valid_hw=valid)
         pred = postprocess_pred(logits, metas[0].get("pad_shape"),
                                 metas[0]["ori_shape"])
         iou = update_iou_np(iou, np.asarray(pred), sem,
