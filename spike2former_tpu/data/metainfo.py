@@ -8,6 +8,11 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from .label_constants import (
+    ADE20K_PALETTE, CITYSCAPES_PALETTE, COCO_STUFF_CLASSES,
+    COCO_STUFF_PALETTE, PASCAL_CONTEXT59_CLASSES, PASCAL_CONTEXT_CLASSES,
+    PASCAL_CONTEXT_PALETTE, SYNAPSE_CLASSES, SYNAPSE_PALETTE, VOC_PALETTE)
+
 
 @dataclass(frozen=True)
 class DatasetMeta:
@@ -17,6 +22,8 @@ class DatasetMeta:
     img_suffix: str = ".jpg"
     seg_suffix: str = ".png"
     ignore_index: int = 255
+    # fixed visualization palette (mmseg METAINFO); None -> generated
+    palette: tuple | None = None
     # relative dirs (mmseg layout): (img_dir, ann_dir) per split
     splits: dict = field(default_factory=dict)
 
@@ -65,15 +72,11 @@ VOC_CLASSES = (
     "tvmonitor",
 )
 
-# COCO-Stuff uses 171 used classes of the 182 ids; mmseg's COCOStuffDataset
-# lists all names — we keep the count contract (171) with generated names
-# where it matters only for reporting.
-COCO_STUFF_NUM_CLASSES = 171
-
 
 ADE20K = DatasetMeta(
     name="ade20k",
     classes=ADE20K_CLASSES,
+    palette=ADE20K_PALETTE,
     reduce_zero_label=True,
     splits={
         "train": ("images/training", "annotations/training"),
@@ -84,6 +87,7 @@ ADE20K = DatasetMeta(
 CITYSCAPES = DatasetMeta(
     name="cityscapes",
     classes=CITYSCAPES_CLASSES,
+    palette=CITYSCAPES_PALETTE,
     reduce_zero_label=False,
     img_suffix="_leftImg8bit.png",
     seg_suffix="_gtFine_labelTrainIds.png",
@@ -96,6 +100,7 @@ CITYSCAPES = DatasetMeta(
 VOC2012 = DatasetMeta(
     name="voc2012",
     classes=VOC_CLASSES,
+    palette=VOC_PALETTE,
     reduce_zero_label=False,
     img_suffix=".jpg",
     seg_suffix=".png",
@@ -107,7 +112,8 @@ VOC2012 = DatasetMeta(
 
 COCO_STUFF_164K = DatasetMeta(
     name="coco_stuff164k",
-    classes=tuple(f"class_{i}" for i in range(COCO_STUFF_NUM_CLASSES)),
+    classes=COCO_STUFF_CLASSES,
+    palette=COCO_STUFF_PALETTE,
     reduce_zero_label=False,
     img_suffix=".jpg",
     seg_suffix="_labelTrainIds.png",
@@ -122,20 +128,37 @@ DATASETS = {d.name: d for d in (ADE20K, CITYSCAPES, VOC2012,
 
 
 def ade_palette() -> list[list[int]]:
-    """Deterministic ADE20K-style palette (mmseg uses a fixed list; any
-    stable palette works for visualization)."""
-    import numpy as np
-
-    rng = np.random.RandomState(42)
-    return [list(map(int, rng.randint(0, 255, 3))) for _ in range(150)]
+    """The fixed ADE20K palette (mmseg ade.py METAINFO)."""
+    return [list(c) for c in ADE20K_PALETTE]
 
 
 PASCAL_CONTEXT = DatasetMeta(
     name="pascal_context",
-    classes=tuple(f"class_{i}" for i in range(60)),  # 59 + background
+    classes=PASCAL_CONTEXT_CLASSES,  # 60 = background + 59
+    palette=PASCAL_CONTEXT_PALETTE,
     reduce_zero_label=False,
     splits={"train": ("JPEGImages", "SegmentationClassContext"),
             "val": ("JPEGImages", "SegmentationClassContext")},
+)
+
+PASCAL_CONTEXT_59 = DatasetMeta(
+    name="pascal_context59",
+    classes=PASCAL_CONTEXT59_CLASSES,
+    reduce_zero_label=True,  # mmseg PascalContextDataset59
+    splits={"train": ("JPEGImages", "SegmentationClassContext"),
+            "val": ("JPEGImages", "SegmentationClassContext")},
+)
+
+# Synapse multi-organ CT (mmseg synapse.py)
+SYNAPSE = DatasetMeta(
+    name="synapse",
+    classes=SYNAPSE_CLASSES,
+    palette=SYNAPSE_PALETTE,
+    reduce_zero_label=False,
+    img_suffix=".jpg",
+    seg_suffix=".png",
+    splits={"train": ("img_dir/train", "ann_dir/train"),
+            "val": ("img_dir/val", "ann_dir/val")},
 )
 
 # Retina-vessel / medical binary segmentation sets (mmseg DRIVE/ChaseDB1/
@@ -173,5 +196,6 @@ DDD17 = DatasetMeta(
             "val": ("images/val", "labels/val")},
 )
 
-for _d in (PASCAL_CONTEXT, DRIVE, CHASE_DB1, DDD17):
+for _d in (PASCAL_CONTEXT, PASCAL_CONTEXT_59, SYNAPSE, DRIVE, CHASE_DB1,
+           DDD17):
     DATASETS[_d.name] = _d

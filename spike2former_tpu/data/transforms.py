@@ -195,6 +195,29 @@ def photometric_distortion(sample: Sample, rng: np.random.Generator,
     return out
 
 
+def random_rotate(sample: Sample, rng: np.random.Generator,
+                  prob: float = 0.5, degree: float = 20.0,
+                  pad_val: int = 0, seg_pad_val: int = 255) -> Sample:
+    """RandomRotate (mmseg transforms.py:338): rotate image (bilinear) and
+    seg map (nearest) by a uniform angle in [-degree, degree] around the
+    center, filling exposed borders with pad values."""
+    if rng.uniform() >= prob:
+        return sample
+    angle = float(rng.uniform(-degree, degree))
+    out = dict(sample)
+    img = Image.fromarray(sample["image"])
+    out["image"] = np.asarray(
+        img.rotate(angle, resample=Image.BILINEAR,
+                   fillcolor=(pad_val,) * 3))
+    seg = sample.get("sem_seg")
+    if seg is not None:
+        seg_im = Image.fromarray(seg.astype(np.int32), "I")
+        out["sem_seg"] = np.asarray(
+            seg_im.rotate(angle, resample=Image.NEAREST,
+                          fillcolor=seg_pad_val), np.int32)
+    return out
+
+
 def pad_to(sample: Sample, size: tuple[int, int], pad_val: int = 0,
            seg_pad_val: int = 255) -> Sample:
     """Bottom-right pad image & seg to a static size (mmseg stack_batch)."""

@@ -61,6 +61,8 @@ class TrainConfig:
     checkpoint_interval: int = 10_000
     max_gt: int = 64
     matcher: str = "auction"          # 'auction' (on-device) | 'host' (scipy)
+    loss_at: str = "pred"             # mask-loss resolution ('gt' = ref-exact)
+    layer_decay_rate: float = 0.0     # >0: backbone layer-wise lr decay
     seed: int = 0
 
 

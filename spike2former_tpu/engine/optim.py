@@ -60,7 +60,14 @@ def make_optimizer(params: Any,
                    backbone_lr_mult: float = 0.1,
                    clip_norm: float = 0.01,
                    warmup_iters: int = 1500,
-                   total_iters: int = 160_000) -> optax.GradientTransformation:
+                   total_iters: int = 160_000,
+                   layer_decay_rate: float | None = None
+                   ) -> optax.GradientTransformation:
+    """AdamW + warmup-poly schedule + param groups (see module docstring).
+
+    ``layer_decay_rate`` additionally applies layer-wise lr decay to the
+    backbone (LearningRateDecayOptimizerConstructor; the shipped configs use
+    the plain ``backbone lr_mult=0.1`` instead — :142-147)."""
     def adamw(lr_mult: float, wd: float):
         return optax.chain(
             optax.scale_by_adam(b1=0.9, b2=0.999),
@@ -79,7 +86,16 @@ def make_optimizer(params: Any,
         },
         _param_labels(params),
     )
-    return optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+    parts = [optax.clip_by_global_norm(clip_norm), tx]
+    if layer_decay_rate is not None:
+        scales = layerwise_decay_scales(params, layer_decay_rate)
+        parts.append(optax.GradientTransformation(
+            lambda _: optax.EmptyState(),
+            lambda updates, state, params=None: (
+                jax.tree_util.tree_map(lambda u, s: u * s, updates, scales),
+                state),
+        ))
+    return optax.chain(*parts)
 
 
 def layerwise_decay_scales(params: Any, decay_rate: float = 0.9,

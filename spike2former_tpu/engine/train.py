@@ -41,7 +41,7 @@ def init_state(model: Spike2Former, tx: optax.GradientTransformation,
 
 def make_train_step(model: Spike2Former, tx: optax.GradientTransformation,
                     num_classes: int, max_gt: int = 64,
-                    matcher: str = "auction"):
+                    matcher: str = "auction", loss_at: str = "pred"):
     """Returns ``train_step(state, images_u8, sem_seg) -> (state, metrics)``.
 
     images_u8: [B, H, W, 3] RGB; sem_seg: [B, H, W] int32 class map with 255
@@ -56,7 +56,7 @@ def make_train_step(model: Spike2Former, tx: optax.GradientTransformation,
         gt = semantic_to_instances(sem_seg, num_classes, max_gt)
         losses = maskformer_loss(
             cls_scores, mask_preds, gt, num_classes=num_classes,
-            matcher=matcher)
+            matcher=matcher, loss_at=loss_at)
         return losses["total"], (losses, updates["batch_stats"])
 
     def train_step(state: TrainState, images, sem_seg):

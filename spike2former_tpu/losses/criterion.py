@@ -185,6 +185,8 @@ def maskformer_loss(
     Returns per-layer loss dict {loss_cls, loss_mask, loss_dice,
     d{i}.loss_*} exactly like the reference logger keys.
     """
+    if loss_at not in ("pred", "gt"):
+        raise ValueError(f"loss_at must be 'pred' or 'gt', got {loss_at!r}")
     class_weight = jnp.asarray(
         [1.0] * num_classes + [bg_class_weight], jnp.float32)
 

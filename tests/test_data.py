@@ -52,6 +52,35 @@ def test_resize_shortest_edge():
     assert out["image"].shape[1] == 100
 
 
+def test_random_rotate():
+    from spike2former_tpu.data.transforms import random_rotate
+
+    rng = np.random.default_rng(3)
+    img = np.full((20, 20, 3), 100, np.uint8)
+    seg = np.full((20, 20), 2, np.int32)
+    s = {"image": img, "sem_seg": seg, "meta": {}}
+    out = random_rotate(s, rng, prob=1.0, degree=30.0)
+    assert out["image"].shape == img.shape
+    assert out["sem_seg"].shape == seg.shape
+    # exposed corners get pad values (0 for image, 255 for seg)
+    assert (out["sem_seg"] == 255).any()
+    assert set(np.unique(out["sem_seg"])) <= {2, 255}
+    # prob=0 is identity
+    out2 = random_rotate(s, rng, prob=0.0)
+    np.testing.assert_array_equal(out2["image"], img)
+
+
+def test_fixed_palettes_and_real_class_names():
+    from spike2former_tpu.data.metainfo import DATASETS, ade_palette
+
+    assert DATASETS["pascal_context"].classes[:3] == (
+        "background", "aeroplane", "bag")
+    assert DATASETS["synapse"].num_classes == 9
+    assert DATASETS["coco_stuff164k"].classes[0] == "person"
+    assert len(ade_palette()) == 150 and ade_palette()[0] == [120, 120, 120]
+    assert len(DATASETS["cityscapes"].palette) == 19
+
+
 def test_crop_flip_pad():
     rng = np.random.default_rng(0)
     s = {"image": np.arange(40 * 60 * 3, dtype=np.uint8).reshape(40, 60, 3),

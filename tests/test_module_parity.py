@@ -245,6 +245,181 @@ def test_spike_attention_parity():
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-3)
 
 
+def q4(x):
+    """Multispike_norm: round(clamp(x, 0, 4)) / 4 (mmseg Qtrick.py:27-38)."""
+    return torch.round(torch.clamp(x, 0, 4)) / 4
+
+
+class TorchSepConvSpike(nn.Module):
+    """SDTv3 SepConv_Spike: 3 multispikes, BN after every conv
+    (sdtv3.py:99-148)."""
+
+    def __init__(self, dim, e=2, k=3, p=1):
+        super().__init__()
+        m = dim * e
+        self.pw1 = nn.Conv2d(dim, m, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(m)
+        self.dw = nn.Conv2d(m, m, k, padding=p, groups=m, bias=False)
+        self.bnd = nn.BatchNorm2d(m)
+        self.pw2 = nn.Conv2d(m, dim, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(dim)
+
+    def forward(self, x):
+        x = self.bn1(self.pw1(q4(x)))
+        x = self.bnd(self.dw(q4(x)))
+        return self.bn2(self.pw2(q4(x)))
+
+
+def _load_sepconv_spike(t, p, s):
+    t.pw1.weight.data = f2t_conv(p["ConvBN_0"]["Conv_0"]["kernel"])
+    set_bn(t.bn1, s["ConvBN_0"]["BatchNorm_0"]["BatchNorm_0"],
+           p["ConvBN_0"]["BatchNorm_0"]["BatchNorm_0"])
+    t.dw.weight.data = f2t_conv(p["Conv_0"]["kernel"])
+    set_bn(t.bnd, s["BatchNorm_0"]["BatchNorm_0"],
+           p["BatchNorm_0"]["BatchNorm_0"])
+    t.pw2.weight.data = f2t_conv(p["ConvBN_1"]["Conv_0"]["kernel"])
+    set_bn(t.bn2, s["ConvBN_1"]["BatchNorm_0"]["BatchNorm_0"],
+           p["ConvBN_1"]["BatchNorm_0"]["BatchNorm_0"])
+
+
+def test_sdtv3_sepconv_spike_parity():
+    dim = 8
+    mod = SepConv(dim, kernel_size=3, padding=1, dw_bn=True, num_spikes=3,
+                  spike="multispike_norm")
+    x = RNG.normal(0, 2, (2, 1, 9, 9, dim)).astype(np.float32)
+    vars_ = randomize_variables(mod.init(jax.random.PRNGKey(0), x))
+    got = np.asarray(mod.apply(vars_, jnp.asarray(x)))
+
+    t = TorchSepConvSpike(dim).eval()
+    _load_sepconv_spike(t, vars_["params"], vars_["batch_stats"])
+    xt = torch.from_numpy(x.reshape(2, 9, 9, dim).transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        want = t(xt).numpy().transpose(0, 2, 3, 1).reshape(2, 1, 9, 9, dim)
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+class TorchV3Attention(nn.Module):
+    """SDTv3 MS_Attention_linear (sdtv3.py:229-313): conv1x1 q/k, v widened
+    by lamda_ratio=4, `(q k^T) v * (scale*2)` with N x N association."""
+
+    def __init__(self, dim, heads, lamda=4):
+        super().__init__()
+        self.h, self.dim, self.lamda = heads, dim, lamda
+        cv = dim * lamda
+        self.q = nn.Sequential(nn.Conv2d(dim, dim, 1, bias=False),
+                               nn.BatchNorm2d(dim))
+        self.k = nn.Sequential(nn.Conv2d(dim, dim, 1, bias=False),
+                               nn.BatchNorm2d(dim))
+        self.v = nn.Sequential(nn.Conv2d(dim, cv, 1, bias=False),
+                               nn.BatchNorm2d(cv))
+        self.proj = nn.Sequential(nn.Conv2d(cv, dim, 1, bias=False),
+                                  nn.BatchNorm2d(dim))
+
+    def forward(self, x):
+        b, c, hh, ww = x.shape
+        n = hh * ww
+        cv = c * self.lamda
+        xs = q4(x)
+        qq, kk, vv = q4(self.q(xs)), q4(self.k(xs)), q4(self.v(xs))
+
+        def heads(y, ch):
+            return (y.flatten(2).transpose(1, 2)
+                    .reshape(b, n, self.h, ch // self.h).permute(0, 2, 1, 3))
+
+        qh, kh, vh = heads(qq, c), heads(kk, c), heads(vv, cv)
+        out = (qh @ kh.transpose(-2, -1)) @ vh  # the reference association
+        out = out * ((c // self.h) ** -0.5 * 2)
+        out = out.transpose(2, 3).reshape(b, cv, n)
+        out = q4(out).reshape(b, cv, hh, ww)
+        return self.proj(out)
+
+
+def _load_convbn(tseq_conv, tseq_bn, p, s):
+    tseq_conv.weight.data = f2t_conv(p["Conv_0"]["kernel"])
+    set_bn(tseq_bn, s["BatchNorm_0"]["BatchNorm_0"],
+           p["BatchNorm_0"]["BatchNorm_0"])
+
+
+def test_sdtv3_attention_parity():
+    dim, heads = 16, 4
+    mod = SpikeAttention(dim, heads, qkv_proj="conv1x1", lamda_ratio=4,
+                         scale_mult=2.0, spike="multispike_norm")
+    x = RNG.normal(0, 2, (1, 2, 6, 6, dim)).astype(np.float32)
+    vars_ = randomize_variables(mod.init(jax.random.PRNGKey(0), x))
+    got = np.asarray(mod.apply(vars_, jnp.asarray(x)))
+
+    p, s = vars_["params"], vars_["batch_stats"]
+    t = TorchV3Attention(dim, heads).eval()
+    for name, seq in [("q_conv", t.q), ("k_conv", t.k), ("v_conv", t.v),
+                      ("proj_conv", t.proj)]:
+        _load_convbn(seq[0], seq[1], p[name], s[name])
+    xt = torch.from_numpy(x.reshape(2, 6, 6, dim).transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        want = t(xt).numpy().transpose(0, 2, 3, 1).reshape(1, 2, 6, 6, dim)
+    # (q k^T) v here vs q (k^T v) in flax: identical up to float association
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-3)
+
+
+def test_sdtv3_full_block_parity():
+    """MS_Block_Spike_SepConv (sdtv3.py:318-360): x+SepConv_Spike, x+attn,
+    x+MS_MLP — the complete v3 transformer block."""
+    from spike2former_tpu.models.sdtv2 import MSBlock
+
+    dim, heads = 16, 4
+    mod = MSBlock(dim, heads, mlp_ratio=2, with_sepconv=True,
+                  qkv_proj="conv1x1", lamda_ratio=4, scale_mult=2.0,
+                  spike="multispike_norm")
+    x = RNG.normal(0, 2, (1, 2, 6, 6, dim)).astype(np.float32)
+    vars_ = randomize_variables(mod.init(jax.random.PRNGKey(0), x))
+    got = np.asarray(mod.apply(vars_, jnp.asarray(x)))
+
+    p, s = vars_["params"], vars_["batch_stats"]
+    sep = TorchSepConvSpike(dim, k=3, p=1).eval()
+    _load_sepconv_spike(sep, p["SepConv_0"], s["SepConv_0"])
+    attn = TorchV3Attention(dim, heads).eval()
+    for name, seq in [("q_conv", attn.q), ("k_conv", attn.k),
+                      ("v_conv", attn.v), ("proj_conv", attn.proj)]:
+        _load_convbn(seq[0], seq[1], p["SpikeAttention_0"][name],
+                     s["SpikeAttention_0"][name])
+
+    # MS_MLP (channels-first Conv1d over N, sdtv3.py MS_MLP)
+    mp, ms = p["MSMLP_0"], s["MSMLP_0"]
+
+    def mlp(yt):  # yt [B, C, H, W]
+        b, c, hh, ww = yt.shape
+        y = q4(yt).flatten(2)  # [B, C, N]
+        w1 = torch.from_numpy(
+            np.asarray(mp["Conv_0"]["kernel"])[0, 0].T.copy())  # [hid, C]
+        y = torch.einsum("oc,bcn->bon", w1, y) \
+            + torch.from_numpy(np.asarray(mp["Conv_0"]["bias"]))[None, :, None]
+        bp, bs = mp["BatchNorm_0"]["BatchNorm_0"], ms["BatchNorm_0"]["BatchNorm_0"]
+        y = ((y - torch.from_numpy(np.asarray(bs["mean"]))[None, :, None])
+             / torch.sqrt(torch.from_numpy(np.asarray(bs["var"]))[None, :, None]
+                          + 1e-5)
+             * torch.from_numpy(np.asarray(bp["scale"]))[None, :, None]
+             + torch.from_numpy(np.asarray(bp["bias"]))[None, :, None])
+        y = q4(y)
+        w2 = torch.from_numpy(
+            np.asarray(mp["Conv_1"]["kernel"])[0, 0].T.copy())
+        y = torch.einsum("oc,bcn->bon", w2, y) \
+            + torch.from_numpy(np.asarray(mp["Conv_1"]["bias"]))[None, :, None]
+        bp, bs = mp["BatchNorm_1"]["BatchNorm_0"], ms["BatchNorm_1"]["BatchNorm_0"]
+        y = ((y - torch.from_numpy(np.asarray(bs["mean"]))[None, :, None])
+             / torch.sqrt(torch.from_numpy(np.asarray(bs["var"]))[None, :, None]
+                          + 1e-5)
+             * torch.from_numpy(np.asarray(bp["scale"]))[None, :, None]
+             + torch.from_numpy(np.asarray(bp["bias"]))[None, :, None])
+        return y.reshape(b, c, hh, ww)
+
+    xt = torch.from_numpy(x.reshape(2, 6, 6, dim).transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        y = xt + sep(xt)
+        y = y + attn(y)
+        y = y + mlp(y)
+    want = y.numpy().transpose(0, 2, 3, 1).reshape(1, 2, 6, 6, dim)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
 def test_spike_mha_parity():
     """Softmax-free token attention: q/k/v conv1d+BN, scores/sqrt(C)."""
     dim, heads = 16, 4

@@ -93,7 +93,10 @@ def main():
 
             _os.makedirs(args.show_dir, exist_ok=True)
             disp = np.asarray(jnp.argmax(logits, -1)[0], np.int32)
-            overlay = draw_sem_seg(images[0].astype(np.uint8), disp)
+            pal = (np.asarray(ds.meta.palette, np.uint8)
+                   if ds.meta.palette else None)
+            overlay = draw_sem_seg(images[0].astype(np.uint8), disp,
+                                   palette=pal)
             Image.fromarray(overlay).save(
                 _os.path.join(args.show_dir, f"pred_{n:05d}.png"))
         n += 1

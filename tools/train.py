@@ -101,7 +101,8 @@ def main():
         backbone_lr_mult=cfg.train.backbone_lr_mult,
         clip_norm=cfg.train.clip_norm,
         warmup_iters=cfg.train.warmup_iters,
-        total_iters=cfg.train.total_iters)
+        total_iters=cfg.train.total_iters,
+        layer_decay_rate=cfg.train.layer_decay_rate or None)
     state = init_state(model, tx, jax.random.PRNGKey(cfg.train.seed), sample)
     start = 0
     if args.resume:
@@ -115,7 +116,8 @@ def main():
     state = replicate(mesh, state)
     step_fn = jax.jit(make_train_step(
         model, tx, num_classes=cfg.model.num_classes,
-        max_gt=cfg.train.max_gt, matcher=cfg.train.matcher))
+        max_gt=cfg.train.max_gt, matcher=cfg.train.matcher,
+        loss_at=cfg.train.loss_at))
 
     from spike2former_tpu.engine.logging import ScalarLogger
 
