@@ -22,11 +22,17 @@ from .transforms import train_pipeline
 class TrainLoader:
     def __init__(self, dataset: SegDataset, batch_size: int,
                  crop_size=(512, 512), seed: int = 0, num_workers: int = 8,
-                 prefetch: int = 4, infinite: bool = True):
+                 prefetch: int = 4, infinite: bool = True,
+                 process_id: int = 0, process_count: int = 1):
+        """``batch_size`` is the per-process (local) batch.  In multi-host
+        training every process builds the SAME epoch permutation (shared
+        seed) and consumes its disjoint ``process_id``-strided slice — the
+        DistSamplerSeedHook / InfiniteSampler sharding convention."""
         self.ds = dataset
         self.bs = batch_size
         self.crop = crop_size
         self.rng = np.random.default_rng(seed)
+        self.pid, self.pcount = process_id, process_count
         self.pool = ThreadPoolExecutor(num_workers)
         self.q: queue.Queue = queue.Queue(maxsize=prefetch)
         self.infinite = infinite
@@ -43,6 +49,8 @@ class TrainLoader:
         epoch = 0
         while not self._stop.is_set():
             order = self.rng.permutation(len(self.ds))
+            if self.pcount > 1:
+                order = order[self.pid::self.pcount]
             for i in range(0, len(order) - self.bs + 1, self.bs):
                 idxs = order[i:i + self.bs]
                 seeds = self.rng.integers(0, 2**31, size=self.bs)

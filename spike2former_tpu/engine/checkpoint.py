@@ -22,7 +22,10 @@ import orbax.checkpoint as ocp
 def save_state(work_dir: str, state: Any, step: int) -> str:
     path = os.path.abspath(os.path.join(work_dir, f"ckpt_{step}"))
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.device_get(state), force=True)
+    # multi-host: globally-sharded arrays are not host-fetchable; orbax
+    # gathers them itself (every process must participate in save)
+    host_state = jax.device_get(state) if jax.process_count() == 1 else state
+    ckptr.save(path, host_state, force=True)
     ckptr.wait_until_finished()
     return path
 

@@ -62,6 +62,7 @@ class TrainConfig:
     max_gt: int = 64
     matcher: str = "auction"          # 'auction' (on-device) | 'host' (scipy)
     loss_at: str = "pred"             # mask-loss resolution ('gt' = ref-exact)
+    accum_steps: int = 1              # grad accumulation (global batch 48)
     layer_decay_rate: float = 0.0     # >0: backbone layer-wise lr decay
     seed: int = 0
 

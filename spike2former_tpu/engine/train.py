@@ -41,11 +41,18 @@ def init_state(model: Spike2Former, tx: optax.GradientTransformation,
 
 def make_train_step(model: Spike2Former, tx: optax.GradientTransformation,
                     num_classes: int, max_gt: int = 64,
-                    matcher: str = "auction", loss_at: str = "pred"):
+                    matcher: str = "auction", loss_at: str = "pred",
+                    accum_steps: int = 1):
     """Returns ``train_step(state, images_u8, sem_seg) -> (state, metrics)``.
 
     images_u8: [B, H, W, 3] RGB; sem_seg: [B, H, W] int32 class map with 255
     as ignore.  All shapes static; GT is padded per ``semantic_to_instances``.
+
+    ``accum_steps > 1`` splits the batch into that many sequential
+    microbatches inside one jitted step (gradients averaged, ONE optimizer
+    update) — how a single chip reaches the reference's global batch 48
+    (configs ...ade20k.py:181-182) without 48 activations in HBM.  The
+    microbatch loop is a ``lax.scan``, so compile time stays flat.
     """
 
     def loss_fn(params, batch_stats, images, sem_seg):
@@ -59,10 +66,35 @@ def make_train_step(model: Spike2Former, tx: optax.GradientTransformation,
             matcher=matcher, loss_at=loss_at)
         return losses["total"], (losses, updates["batch_stats"])
 
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
     def train_step(state: TrainState, images, sem_seg):
-        (total, (losses, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats,
-                                   images, sem_seg)
+        if accum_steps == 1:
+            (_, (losses, new_stats)), grads = grad_fn(
+                state.params, state.batch_stats, images, sem_seg)
+        else:
+            b = images.shape[0]
+            assert b % accum_steps == 0, (b, accum_steps)
+            mb = b // accum_steps
+            im_s = images.reshape(accum_steps, mb, *images.shape[1:])
+            seg_s = sem_seg.reshape(accum_steps, mb, *sem_seg.shape[1:])
+
+            def body(carry, xs):
+                stats, grad_acc = carry
+                (_, (losses, stats)), grads = grad_fn(
+                    state.params, stats, xs[0], xs[1])
+                grad_acc = jax.tree_util.tree_map(
+                    jnp.add, grad_acc, grads)
+                return (stats, grad_acc), losses
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (new_stats, grads), losses_s = jax.lax.scan(
+                body, (state.batch_stats, zero), (im_s, seg_s))
+            grads = jax.tree_util.tree_map(
+                lambda g: g / accum_steps, grads)
+            losses = jax.tree_util.tree_map(
+                lambda v: v.mean(0), losses_s)
+
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {k: v for k, v in losses.items()}

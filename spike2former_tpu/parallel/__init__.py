@@ -1,7 +1,9 @@
 from .mesh import (
-    make_mesh, batch_sharding, replicated, shard_batch, replicate,
+    distributed_init, make_mesh, batch_sharding, replicated, shard_batch,
+    replicate, spatial_sharding,
 )
 
 __all__ = [
-    "make_mesh", "batch_sharding", "replicated", "shard_batch", "replicate",
+    "distributed_init", "make_mesh", "batch_sharding", "replicated",
+    "shard_batch", "replicate", "spatial_sharding",
 ]

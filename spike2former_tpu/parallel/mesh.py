@@ -21,6 +21,39 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def distributed_init(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> tuple[int, int]:
+    """Multi-host initialization — the reference's torch.distributed.launch
+    / slurm world (tools/dist_train.sh, slurm_train.sh), done the JAX way:
+    ``jax.distributed.initialize`` connects every host's runtime so
+    ``jax.devices()`` spans the full slice and one Mesh covers ICI+DCN.
+
+    On TPU pods all arguments auto-detect from the environment; pass them
+    explicitly for CPU multi-process tests.  Returns (process_id,
+    process_count).  Safe to call when already initialized or single-host.
+    """
+    # NB: must run before ANY backend use (even jax.process_count()
+    # initializes XLA and makes distributed.initialize fail).
+    if coordinator_address or num_processes or _multihost_env():
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes, process_id=process_id)
+        except RuntimeError as e:
+            if "already" not in str(e).lower():
+                raise
+    return jax.process_index(), jax.process_count()
+
+
+def _multihost_env() -> bool:
+    import os
+
+    return any(os.environ.get(k) for k in (
+        "COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS",
+        "TPU_WORKER_HOSTNAMES", "SLURM_NTASKS"))
+
+
 def make_mesh(n_devices: int | None = None, model_axis: int = 1) -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
@@ -41,7 +74,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Per-process local batch -> globally sharded arrays.
+
+    Single-host: a plain sharded device_put.  Multi-host: each process
+    contributes its LOCAL slice of the global batch (the DDP per-rank
+    loader convention) and ``make_array_from_process_local_data``
+    assembles the global jax.Array across hosts.
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sh), batch)
 

@@ -39,6 +39,38 @@ def test_train_step_runs_and_decreases_nothing_nan():
     assert max(jax.tree_util.tree_leaves(diff)) > 0
 
 
+def test_grad_accumulation_matches_big_batch_direction():
+    """accum_steps=2 over batch 4 must (a) run inside one jitted step,
+    (b) produce the same parameter update as the big batch when BN uses
+    running stats, up to the per-microbatch loss normalizers."""
+    model = tiny_model()
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 255, (4, 32, 32, 3)), jnp.float32)
+    sem = jnp.asarray(rng.integers(0, 6, (4, 32, 32)), jnp.int32)
+    tx = make_optimizer(
+        model.init(jax.random.PRNGKey(0), images, True)["params"])
+
+    outs = {}
+    for accum in (1, 2):
+        state = init_state(model, tx, jax.random.PRNGKey(0), images)
+        step = jax.jit(make_train_step(model, tx, num_classes=6, max_gt=8,
+                                       accum_steps=accum))
+        state2, metrics = step(state, images, sem)
+        assert np.isfinite(float(metrics["total"]))
+        outs[accum] = (state2, float(metrics["total"]),
+                       np.asarray(metrics["grad_norm"]))
+
+    # same budget of data -> losses in the same ballpark, params updated
+    assert abs(outs[2][1] - outs[1][1]) / outs[1][1] < 0.2
+    flat1 = np.concatenate([np.asarray(x).ravel() for x in
+                            jax.tree_util.tree_leaves(outs[1][0].params)])
+    flat2 = np.concatenate([np.asarray(x).ravel() for x in
+                            jax.tree_util.tree_leaves(outs[2][0].params)])
+    assert np.isfinite(flat2).all()
+    cos = flat1 @ flat2 / (np.linalg.norm(flat1) * np.linalg.norm(flat2))
+    assert cos > 0.99  # updates point the same way
+
+
 def test_schedule_matches_reference_shape():
     s = poly_warmup_schedule(1e-3, warmup_iters=10, total_iters=100)
     assert float(s(0)) < 1e-6 + 1e-9

@@ -53,7 +53,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("config", help="preset name (see engine/config.py)")
     ap.add_argument("--data-root", default=None)
-    ap.add_argument("--work-dir", default=None)
+    ap.add_argument("--work-dir", default=None,
+                    help="checkpoint dir; multi-host runs MUST share one "
+                         "path (orbax saves are collective)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--cfg-options", nargs="*", default=[])
     ap.add_argument("--log-interval", type=int, default=50)
@@ -62,12 +64,29 @@ def main():
     ap.add_argument("--device", default=None,
                     help="force backend, e.g. cpu (the axon sitecustomize "
                          "pins JAX_PLATFORMS, so env vars alone don't work)")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host: jax.distributed.initialize (the "
+                         "dist_train.sh/slurm world; auto-detects on TPU "
+                         "pods)")
+    ap.add_argument("--coordinator", default=None,
+                    help="coordinator host:port (CPU multi-process runs)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args()
 
     import jax
 
     if args.device:
         jax.config.update("jax_platforms", args.device)
+
+    pid, pcount = 0, 1
+    if args.distributed or args.coordinator:
+        from spike2former_tpu.parallel import distributed_init
+
+        pid, pcount = distributed_init(
+            args.coordinator, args.num_processes, args.process_id)
+        print(f"distributed: process {pid}/{pcount}, "
+              f"{jax.device_count()} global devices", flush=True)
     import jax.numpy as jnp
     import numpy as np
 
@@ -87,9 +106,13 @@ def main():
 
     model = build_model(cfg.model)
     ds = make_dataset(cfg.data.dataset, cfg.data.data_root, "train")
-    loader = TrainLoader(ds, cfg.data.batch_size, cfg.data.crop_size,
+    # cfg batch_size is GLOBAL; each process loads its local share
+    assert cfg.data.batch_size % pcount == 0, (cfg.data.batch_size, pcount)
+    local_bs = cfg.data.batch_size // pcount
+    loader = TrainLoader(ds, local_bs, cfg.data.crop_size,
                          seed=cfg.train.seed,
-                         num_workers=cfg.data.num_workers)
+                         num_workers=cfg.data.num_workers,
+                         process_id=pid, process_count=pcount)
 
     sample = jnp.zeros((cfg.data.batch_size, *cfg.data.crop_size, 3),
                        jnp.float32)
@@ -117,7 +140,7 @@ def main():
     step_fn = jax.jit(make_train_step(
         model, tx, num_classes=cfg.model.num_classes,
         max_gt=cfg.train.max_gt, matcher=cfg.train.matcher,
-        loss_at=cfg.train.loss_at))
+        loss_at=cfg.train.loss_at, accum_steps=cfg.train.accum_steps))
 
     from spike2former_tpu.engine.logging import ScalarLogger
 
