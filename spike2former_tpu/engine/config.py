@@ -20,6 +20,7 @@ class ModelConfig:
     kind: str = "maskformer"          # 'maskformer' | 'fpn'
     variant: str = "sdtv2"            # backbone: 'sdtv2' | 'sdtv3'
     num_classes: int = 150
+    num_things: int = 0               # panoptic: thing classes (rest stuff)
     embed_dim: tuple = (64, 128, 256, 360)
     backbone_heads: int = 8
     T: int = 1
@@ -215,12 +216,15 @@ def _fpn_sdtv3(size: str) -> Config:
 
 def _coco_panoptic_spike2former() -> Config:
     """COCO panoptic via the mmdet-side mask-classification head
-    (BASELINE.json configs[3]): 133 classes (80 things + 53 stuff); panoptic
-    merge via evaluation.tta.panoptic_inference."""
+    (BASELINE.json configs[3]): 133 classes (80 things + 53 stuff).
+    Training consumes real panoptic JSON+PNG annotations
+    (data.panoptic.PanopticDataset); eval is PQ through
+    panoptic_inference (tools/test.py selects both from the dataset
+    name)."""
     return Config(
         name="SDTv2_maskformer_coco_panoptic",
-        model=ModelConfig(T=1, num_classes=133),
-        data=DataConfig(dataset="coco_stuff164k", data_root="data/coco"),
+        model=ModelConfig(T=1, num_classes=133, num_things=80),
+        data=DataConfig(dataset="coco_panoptic", data_root="data/coco"),
     )
 
 

@@ -54,6 +54,33 @@ def whole_logits(model: Spike2Former, variables, images_u8: jax.Array,
         variables, images_u8, jnp.asarray(valid_hw, jnp.int32))
 
 
+@functools.lru_cache(maxsize=16)
+def _jitted_panoptic(model, num_things, object_mask_thr):
+    from ..evaluation.tta import panoptic_inference
+
+    def impl(variables, images_u8):
+        x = preprocess(images_u8)
+        cls_scores, mask_preds = model.apply(variables, x, False)
+        mask = mask_preds[-1]
+        hw = images_u8.shape[1:3]
+        mask = resize_bilinear(
+            mask.transpose(0, 2, 3, 1), hw).transpose(0, 3, 1, 2)
+        return panoptic_inference(cls_scores[-1], mask,
+                                  object_mask_thr=object_mask_thr,
+                                  num_things=num_things)
+
+    return jax.jit(impl)
+
+
+def whole_panoptic(model: Spike2Former, variables, images_u8: jax.Array,
+                   num_things: int = 80, object_mask_thr: float = 0.8
+                   ) -> tuple[jax.Array, jax.Array]:
+    """[B, H, W, 3] uint8 RGB → (sem [B,H,W] i32 with -1 void,
+    inst [B,H,W] i32) via the mask-classification panoptic merge."""
+    return _jitted_panoptic(model, num_things, object_mask_thr)(
+        variables, images_u8)
+
+
 def bucket_hw(h: int, w: int, multiple: int = 128) -> tuple[int, int]:
     """Round spatial dims up to a bucket shape so keep-ratio eval images
     share a handful of compilations instead of one per distinct (H, W)."""

@@ -68,7 +68,7 @@ def make_train_step(model: Spike2Former, tx: optax.GradientTransformation,
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def train_step(state: TrainState, images, sem_seg):
+    def train_step(state: TrainState, images, sem_seg):  # noqa: C901
         if accum_steps == 1:
             (_, (losses, new_stats)), grads = grad_fn(
                 state.params, state.batch_stats, images, sem_seg)
@@ -95,6 +95,44 @@ def make_train_step(model: Spike2Former, tx: optax.GradientTransformation,
             losses = jax.tree_util.tree_map(
                 lambda v: v.mean(0), losses_s)
 
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {k: v for k, v in losses.items()}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(state.step + 1, new_params, new_stats,
+                          new_opt), metrics
+
+    return train_step
+
+
+def make_train_step_panoptic(model: Spike2Former,
+                             tx: optax.GradientTransformation,
+                             num_classes: int, matcher: str = "auction",
+                             loss_at: str = "pred"):
+    """Panoptic training step: GT arrives as padded instance targets
+    (labels [B, G], masks [B, G, H, W], valid [B, G]) built by
+    ``data.panoptic.panoptic_train_batches`` — things keep instance
+    identity, stuff is one segment per class (preprocess_panoptic_gt
+    semantics).  The loss/matching pipeline is shared with the semantic
+    path."""
+    from ..losses.criterion import GroundTruth
+
+    def loss_fn(params, batch_stats, images, labels, masks, valid):
+        x = preprocess(images)
+        (cls_scores, mask_preds), updates = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, True,
+            mutable=["batch_stats"])
+        gt = GroundTruth(labels, masks.astype(jnp.float32), valid)
+        losses = maskformer_loss(
+            cls_scores, mask_preds, gt, num_classes=num_classes,
+            matcher=matcher, loss_at=loss_at)
+        return losses["total"], (losses, updates["batch_stats"])
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_step(state: TrainState, images, labels, masks, valid):
+        (_, (losses, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, images, labels, masks, valid)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {k: v for k, v in losses.items()}

@@ -1,5 +1,6 @@
 from .iou_metric import (IoUState, init_iou, update_iou, update_iou_np,
                          compute_iou)
+from .panoptic import PQStat, pq_update, compute_pq
 
 __all__ = ["IoUState", "init_iou", "update_iou", "update_iou_np",
-           "compute_iou"]
+           "compute_iou", "PQStat", "pq_update", "compute_pq"]

@@ -8,6 +8,50 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def evaluate_panoptic(cfg, model, variables, ds, args):
+    """PQ evaluation over the panoptic val split: keep-ratio resize +
+    bucket pad, panoptic merge on device, maps resized back to the
+    original shape (nearest), panopticapi-protocol PQ on host."""
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from spike2former_tpu.data import panoptic_maps
+    from spike2former_tpu.data.transforms import test_pipeline
+    from spike2former_tpu.engine import whole_panoptic
+    from spike2former_tpu.evaluation import PQStat, compute_pq, pq_update
+
+    stat = PQStat(cfg.model.num_classes)
+    n = 0
+    for i in range(len(ds)):
+        raw = ds.load(i)
+        oh, ow = raw["meta"]["ori_shape"]
+        s = test_pipeline({"image": raw["image"], "meta": {}},
+                          cfg.data.test_scale,
+                          size_divisor=cfg.data.size_divisor,
+                          bucket=cfg.test.bucket)
+        img = jnp.asarray(s["image"][None].astype(np.float32))
+        sem, inst = whole_panoptic(
+            model, variables, img, num_things=cfg.model.num_things or 80)
+        vh, vw = s["meta"]["img_shape"]
+
+        def back(m):  # crop valid region, nearest-resize to ori shape
+            arr = Image.fromarray(np.asarray(m[0, :vh, :vw], np.int32), "I")
+            return np.asarray(arr.resize((ow, oh), Image.NEAREST), np.int32)
+
+        gt_label, gt_inst, gt_crowd = panoptic_maps(
+            raw["pan_ids"], raw["segments"])
+        stat = pq_update(stat, back(sem), back(inst),
+                         gt_label, gt_inst, gt_crowd)
+        n += 1
+        if args.max_images and n >= args.max_images:
+            break
+    res = compute_pq(stat, num_things=cfg.model.num_things or 80)
+    print(f"images: {n}")
+    print(f"PQ {res['PQ']:.2f}  SQ {res['SQ']:.2f}  RQ {res['RQ']:.2f}  "
+          f"PQ_th {res['PQ_th']:.2f}  PQ_st {res['PQ_st']:.2f}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("config")
@@ -45,7 +89,13 @@ def main():
         cfg.model.compat = True
 
     model = build_model(cfg.model)
-    ds = make_dataset(cfg.data.dataset, cfg.data.data_root, "val")
+    panoptic = cfg.data.dataset == "coco_panoptic"
+    if panoptic:
+        from spike2former_tpu.data import PanopticDataset
+
+        ds = PanopticDataset(cfg.data.data_root, "val")
+    else:
+        ds = make_dataset(cfg.data.dataset, cfg.data.data_root, "val")
 
     if args.torch_checkpoint:
         from spike2former_tpu.engine.checkpoint import load_reference_model
@@ -63,6 +113,9 @@ def main():
             variables = restore_variables(args.checkpoint, variables)
 
     num_classes = cfg.model.num_classes
+    if panoptic:
+        evaluate_panoptic(cfg, model, variables, ds, args)
+        return
     iou = init_iou(num_classes)
     n = 0
     for images, sem, metas in eval_batches(

@@ -105,14 +105,25 @@ def main():
     os.makedirs(work_dir, exist_ok=True)
 
     model = build_model(cfg.model)
-    ds = make_dataset(cfg.data.dataset, cfg.data.data_root, "train")
+    panoptic = cfg.data.dataset == "coco_panoptic"
     # cfg batch_size is GLOBAL; each process loads its local share
     assert cfg.data.batch_size % pcount == 0, (cfg.data.batch_size, pcount)
     local_bs = cfg.data.batch_size // pcount
-    loader = TrainLoader(ds, local_bs, cfg.data.crop_size,
-                         seed=cfg.train.seed,
-                         num_workers=cfg.data.num_workers,
-                         process_id=pid, process_count=pcount)
+    if panoptic:
+        from spike2former_tpu.data import (
+            PanopticDataset, panoptic_train_batches)
+
+        ds = PanopticDataset(cfg.data.data_root, "train")
+        loader = None
+        batches = panoptic_train_batches(
+            ds, local_bs, cfg.data.crop_size, cfg.train.max_gt,
+            seed=cfg.train.seed + pid)
+    else:
+        ds = make_dataset(cfg.data.dataset, cfg.data.data_root, "train")
+        loader = TrainLoader(ds, local_bs, cfg.data.crop_size,
+                             seed=cfg.train.seed,
+                             num_workers=cfg.data.num_workers,
+                             process_id=pid, process_count=pcount)
 
     sample = jnp.zeros((cfg.data.batch_size, *cfg.data.crop_size, 3),
                        jnp.float32)
@@ -137,22 +148,34 @@ def main():
 
     mesh = make_mesh()
     state = replicate(mesh, state)
-    step_fn = jax.jit(make_train_step(
-        model, tx, num_classes=cfg.model.num_classes,
-        max_gt=cfg.train.max_gt, matcher=cfg.train.matcher,
-        loss_at=cfg.train.loss_at, accum_steps=cfg.train.accum_steps))
+    if panoptic:
+        from spike2former_tpu.engine import make_train_step_panoptic
+
+        step_fn = jax.jit(make_train_step_panoptic(
+            model, tx, num_classes=cfg.model.num_classes,
+            matcher=cfg.train.matcher, loss_at=cfg.train.loss_at))
+    else:
+        step_fn = jax.jit(make_train_step(
+            model, tx, num_classes=cfg.model.num_classes,
+            max_gt=cfg.train.max_gt, matcher=cfg.train.matcher,
+            loss_at=cfg.train.loss_at, accum_steps=cfg.train.accum_steps))
 
     from spike2former_tpu.engine.logging import ScalarLogger
 
     slog = ScalarLogger(work_dir)
     best_miou = -1.0
     t0 = time.time()
-    it = iter(loader)
+    it = batches if panoptic else iter(loader)
     for i in range(start, cfg.train.total_iters):
-        images, sem = next(it)
-        images, sem = shard_batch(mesh, (jnp.asarray(images),
-                                         jnp.asarray(sem)))
-        state, metrics = step_fn(state, images, sem)
+        if panoptic:
+            batch = shard_batch(mesh, tuple(jnp.asarray(x)
+                                            for x in next(it)))
+            state, metrics = step_fn(state, *batch)
+        else:
+            images, sem = next(it)
+            images, sem = shard_batch(mesh, (jnp.asarray(images),
+                                             jnp.asarray(sem)))
+            state, metrics = step_fn(state, images, sem)
         if (i + 1) % args.log_interval == 0:
             m = {k: float(v) for k, v in metrics.items()}
             dt = (time.time() - t0) / args.log_interval
@@ -166,7 +189,7 @@ def main():
                      grad_norm=m["grad_norm"], sec_per_iter=dt)
         if (i + 1) % cfg.train.checkpoint_interval == 0:
             save_state(work_dir, state, i + 1)
-        if (args.eval_images and cfg.train.val_interval
+        if (args.eval_images and cfg.train.val_interval and not panoptic
                 and (i + 1) % cfg.train.val_interval == 0):
             miou = evaluate(cfg, model, state, args.eval_images)
             print(f"iter {i+1} val mIoU {miou:.2f} "
@@ -176,7 +199,8 @@ def main():
                 best_miou = miou
                 save_state(work_dir, state, i + 1)  # save_best='mIoU'
     save_state(work_dir, state, cfg.train.total_iters)
-    loader.close()
+    if loader is not None:
+        loader.close()
 
 
 if __name__ == "__main__":
