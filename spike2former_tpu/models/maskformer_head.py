@@ -178,15 +178,18 @@ class MaskFormerHead(nn.Module):
         return all_cls_scores.astype(jnp.float32), all_mask_preds
 
 
-def semantic_inference(cls_scores: jax.Array, mask_preds: jax.Array
-                       ) -> jax.Array:
+def semantic_inference(cls_scores: jax.Array, mask_preds: jax.Array,
+                       dtype: jnp.dtype = jnp.float32) -> jax.Array:
     """Per-pixel class logits from mask classification
     (mmseg/models/decode_heads/maskformer_head.py:174-177):
     ``einsum(softmax(cls)[..., :-1], sigmoid(masks))``.
 
     cls_scores: [B, nq, ncls+1]; mask_preds: [B, nq, H, W]
-    → [B, H, W, ncls] (channels-last).
+    → [B, H, W, ncls] (channels-last, f32).  ``dtype`` sets the einsum
+    operand precision (accumulation stays f32).
     """
-    cls_prob = jax.nn.softmax(cls_scores, axis=-1)[..., :-1]
-    mask_prob = jax.nn.sigmoid(mask_preds)
-    return jnp.einsum("bqc,bqhw->bhwc", cls_prob, mask_prob)
+    cls_prob = jax.nn.softmax(
+        cls_scores.astype(jnp.float32), axis=-1)[..., :-1].astype(dtype)
+    mask_prob = jax.nn.sigmoid(mask_preds).astype(dtype)
+    return jnp.einsum("bqc,bqhw->bhwc", cls_prob, mask_prob,
+                      preferred_element_type=jnp.float32)

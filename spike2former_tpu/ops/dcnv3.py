@@ -78,11 +78,12 @@ def _selector(pos: jax.Array, size: int, dtype) -> jax.Array:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def _pallas_sample(feat, py, px, mask, num_points, h_in, w_in, group, cg):
-    """Differentiable Pallas sampler: forward + hand-derived backward
-    kernels (see ops/pallas/dcnv3_kernel.py)."""
-    from .pallas.dcnv3_kernel import dcnv3_sample_pallas_t
+    """Differentiable Pallas sampler: forward (v5: batched-point matmul +
+    repeat-based channel expansion) + hand-derived backward kernels
+    (see ops/pallas/dcnv3_kernel.py)."""
+    from .pallas.dcnv3_kernel import dcnv3_sample_pallas_t5
 
-    return dcnv3_sample_pallas_t(
+    return dcnv3_sample_pallas_t5(
         feat, py, px, mask, num_points=num_points, h_in=h_in, w_in=w_in,
         group=group, group_channels=cg)
 

@@ -252,6 +252,361 @@ def dcnv3_sample_pallas(
     )(py, px, mask, feat, sel)
 
 
+def _sampling_kernel_t4(py_ref, px_ref, m_ref, feat_ref, sel_ref,
+                        out_ref, *, num_points: int, h_in: int, w_in: int,
+                        cg: int, acc_dtype):
+    """v4: like the transposed kernel but the column-selector expansion over
+    channels is a sublane REPLICATION (``pltpu.repeat`` tiles the [Win,
+    tile] block cg times) instead of a [WinCg, Win] @ [Win, tile] matmul —
+    halves the MXU FLOPs per point.  Rows are ordered j = c*Win + v
+    (v-fastest) so the tiled copy lines up: cexp[j] = col[j %% Win].
+    feat_ref block: [1, 1, Cg*Win, Hin] in that row order."""
+    feat_t = feat_ref[0, 0]            # [CgWin, Hin]
+    hw_out = py_ref.shape[-1]
+    wincg = w_in * cg
+
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (h_in, hw_out), 0)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (w_in, hw_out), 0)
+
+    def point_body(p, t_acc):
+        py = py_ref[0, 0, p][None, :]
+        px = px_ref[0, 0, p][None, :]
+        m = m_ref[0, 0, p][None, :]
+
+        y0f = jnp.floor(py)
+        fy = (py - y0f).astype(acc_dtype)
+        y0 = y0f.astype(jnp.int32)
+        row_t = ((iota_u == y0).astype(acc_dtype) * (1.0 - fy)
+                 + (iota_u == y0 + 1).astype(acc_dtype) * fy)
+        row_t = row_t * m.astype(acc_dtype)
+
+        g_t = jnp.dot(feat_t, row_t.astype(feat_t.dtype),
+                      preferred_element_type=acc_dtype)  # [WinCg, tile]
+
+        x0f = jnp.floor(px)
+        fx = (px - x0f).astype(acc_dtype)
+        x0 = x0f.astype(jnp.int32)
+        col_t = ((iota_v == x0).astype(acc_dtype) * (1.0 - fx)
+                 + (iota_v == x0 + 1).astype(acc_dtype) * fx)  # [Win, tile]
+        # cexp[(c, v), o] = col[v, o]: tiled sublane replication
+        cexp_t = pltpu.repeat(col_t, cg, axis=0)       # [CgWin, tile]
+        return t_acc + g_t * cexp_t
+
+    t_acc = jax.lax.fori_loop(
+        0, num_points, point_body, jnp.zeros((wincg, hw_out), acc_dtype))
+    out = jnp.dot(sel_ref[:, :], t_acc.astype(sel_ref.dtype),
+                  preferred_element_type=acc_dtype)
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_points", "h_in", "w_in", "group",
+                     "group_channels"),
+)
+def dcnv3_sample_pallas_t4(
+    feat: jax.Array, py: jax.Array, px: jax.Array, mask: jax.Array, *,
+    num_points: int, h_in: int, w_in: int, group: int, group_channels: int,
+) -> jax.Array:
+    """v4 transposed sampler (repeat-based column expansion).
+    Returns [N, G, Cg, HoWo]."""
+    n, g = feat.shape[0], feat.shape[1]
+    hw_out = py.shape[-1]
+    cg = group_channels
+    wincg = w_in * cg
+
+    budget = 8 * 1024 * 1024
+    tile = hw_out
+    while 3 * wincg * 4 * tile > budget and tile % 2 == 0:
+        tile //= 2
+    n_tiles = hw_out // tile
+
+    # rows ordered j = c*Win + v (v-fastest) to match the tiled expansion
+    feat_cv = feat.reshape(n, g, h_in, w_in, cg)
+    feat_t = jnp.transpose(feat_cv, (0, 1, 4, 3, 2)).reshape(
+        n, g, wincg, h_in)
+    sel = np.zeros((cg, wincg), np.float32)
+    sel[np.arange(wincg) // w_in, np.arange(wincg)] = 1.0
+    sel = jnp.asarray(sel, feat.dtype)
+
+    kernel = functools.partial(
+        _sampling_kernel_t4, num_points=num_points, h_in=h_in, w_in=w_in,
+        cg=cg, acc_dtype=jnp.float32)
+
+    coord_spec = pl.BlockSpec((1, 1, num_points, tile),
+                              lambda i, j, o: (i, j, 0, o),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, g, cg, hw_out), feat.dtype),
+        grid=(n, g, n_tiles),
+        in_specs=[
+            coord_spec, coord_spec, coord_spec,
+            pl.BlockSpec((1, 1, wincg, h_in), lambda i, j, o: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cg, wincg), lambda i, j, o: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, cg, tile),
+                               lambda i, j, o: (i, j, 0, o),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * g * num_points * hw_out * h_in * wincg,
+            bytes_accessed=feat.size * 2 + py.size * 4 * 3
+            + n * g * hw_out * cg * 2,
+            transcendentals=0,
+        ),
+    )(py, px, mask, feat_t, sel)
+
+
+def _sampling_kernel_t5(py_ref, px_ref, m_ref, feat_ref, sel_ref,
+                        out_ref, row_scr, col_scr, *, num_points: int,
+                        h_in: int, w_in: int, cg: int, acc_dtype):
+    """v5: all kernel points' selectors are built first (VPU), then ONE
+    [CgWin, Hin] @ [Hin, P*tile] matmul samples every point — MXU runs one
+    long pipeline instead of P short ones, and VPU/MXU work no longer
+    serialize per point."""
+    feat_t = feat_ref[0, 0]            # [CgWin, Hin]
+    tile = py_ref.shape[-1]
+    wincg = w_in * cg
+
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (h_in, tile), 0)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (w_in, tile), 0)
+
+    def build(p, _):
+        py = py_ref[0, 0, p][None, :]
+        px = px_ref[0, 0, p][None, :]
+        m = m_ref[0, 0, p][None, :]
+        y0f = jnp.floor(py)
+        fy = (py - y0f).astype(acc_dtype)
+        y0 = y0f.astype(jnp.int32)
+        row_t = ((iota_u == y0).astype(acc_dtype) * (1.0 - fy)
+                 + (iota_u == y0 + 1).astype(acc_dtype) * fy)
+        row_scr[:, pl.dslice(p * tile, tile)] = (
+            row_t * m.astype(acc_dtype)).astype(row_scr.dtype)
+        x0f = jnp.floor(px)
+        fx = (px - x0f).astype(acc_dtype)
+        x0 = x0f.astype(jnp.int32)
+        col_scr[:, pl.dslice(p * tile, tile)] = (
+            (iota_v == x0).astype(acc_dtype) * (1.0 - fx)
+            + (iota_v == x0 + 1).astype(acc_dtype) * fx
+        ).astype(col_scr.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, num_points, build, 0)
+
+    g_all = jnp.dot(feat_t, row_scr[:, :].astype(feat_t.dtype),
+                    preferred_element_type=acc_dtype)  # [CgWin, P*tile]
+    prod = g_all * pltpu.repeat(
+        col_scr[:, :].astype(acc_dtype), cg, axis=0)
+
+    t_acc = prod[:, :tile]
+    for p in range(1, num_points):  # static slices (P is small & static)
+        t_acc = t_acc + prod[:, p * tile:(p + 1) * tile]
+    out = jnp.dot(sel_ref[:, :], t_acc.astype(sel_ref.dtype),
+                  preferred_element_type=acc_dtype)
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_points", "h_in", "w_in", "group",
+                     "group_channels"),
+)
+def dcnv3_sample_pallas_t5(
+    feat: jax.Array, py: jax.Array, px: jax.Array, mask: jax.Array, *,
+    num_points: int, h_in: int, w_in: int, group: int, group_channels: int,
+) -> jax.Array:
+    """v5 batched-points sampler.  Returns [N, G, Cg, HoWo]."""
+    n, g = feat.shape[0], feat.shape[1]
+    hw_out = py.shape[-1]
+    cg = group_channels
+    wincg = w_in * cg
+
+    # VMEM: row [Hin, P*t] + col [Win, P*t] bf16 + g_all/prod [WinCg, P*t]
+    # f32 + t_acc [WinCg, t]
+    budget = 9 * 1024 * 1024
+    tile = hw_out
+
+    def vmem(t):
+        return (2 * h_in * num_points * t * feat.dtype.itemsize
+                + 2 * wincg * num_points * t * 4 + wincg * t * 4)
+
+    while vmem(tile) > budget and tile % 2 == 0:
+        tile //= 2
+    n_tiles = hw_out // tile
+
+    feat_cv = feat.reshape(n, g, h_in, w_in, cg)
+    feat_t = jnp.transpose(feat_cv, (0, 1, 4, 3, 2)).reshape(
+        n, g, wincg, h_in)
+    sel = np.zeros((cg, wincg), np.float32)
+    sel[np.arange(wincg) // w_in, np.arange(wincg)] = 1.0
+    sel = jnp.asarray(sel, feat.dtype)
+
+    kernel = functools.partial(
+        _sampling_kernel_t5, num_points=num_points, h_in=h_in, w_in=w_in,
+        cg=cg, acc_dtype=jnp.float32)
+
+    coord_spec = pl.BlockSpec((1, 1, num_points, tile),
+                              lambda i, j, o: (i, j, 0, o),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, g, cg, hw_out), feat.dtype),
+        grid=(n, g, n_tiles),
+        in_specs=[
+            coord_spec, coord_spec, coord_spec,
+            pl.BlockSpec((1, 1, wincg, h_in), lambda i, j, o: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cg, wincg), lambda i, j, o: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, cg, tile),
+                               lambda i, j, o: (i, j, 0, o),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((h_in, num_points * tile), feat.dtype),
+            pltpu.VMEM((w_in, num_points * tile), feat.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * g * num_points * hw_out * h_in * wincg,
+            bytes_accessed=feat.size * 2 + py.size * 4 * 3
+            + n * g * hw_out * cg * 2,
+            transcendentals=0,
+        ),
+    )(py, px, mask, feat_t, sel)
+
+
+def _sampling_kernel_tg(py_ref, px_ref, m_ref, feat_ref, expand_ref, sel_ref,
+                        out_ref, *, num_points: int, h_in: int, w_in: int,
+                        cg: int, group: int, acc_dtype):
+    """Group-coarsened transposed kernel: one program per (batch, tile)
+    handles ALL groups in an in-kernel loop — amortizes the per-program
+    launch/copy overhead that dominates the fine grid (1024 programs of
+    ~3 µs MXU work each ran at ~9% utilization)."""
+    hw_out = py_ref.shape[-1]
+    wincg = w_in * cg
+
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (h_in, hw_out), 0)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (w_in, hw_out), 0)
+
+    def group_body(gi, _):
+        feat_t = feat_ref[0, gi]          # [WinCg, Hin]
+
+        def point_body(p, t_acc):
+            py = py_ref[0, gi, p][None, :]
+            px = px_ref[0, gi, p][None, :]
+            m = m_ref[0, gi, p][None, :]
+
+            y0f = jnp.floor(py)
+            fy = (py - y0f).astype(acc_dtype)
+            y0 = y0f.astype(jnp.int32)
+            row_t = ((iota_u == y0).astype(acc_dtype) * (1.0 - fy)
+                     + (iota_u == y0 + 1).astype(acc_dtype) * fy)
+            row_t = row_t * m.astype(acc_dtype)
+
+            g_t = jnp.dot(feat_t, row_t.astype(feat_t.dtype),
+                          preferred_element_type=acc_dtype)
+
+            x0f = jnp.floor(px)
+            fx = (px - x0f).astype(acc_dtype)
+            x0 = x0f.astype(jnp.int32)
+            col_t = ((iota_v == x0).astype(acc_dtype) * (1.0 - fx)
+                     + (iota_v == x0 + 1).astype(acc_dtype) * fx)
+            cexp_t = jnp.dot(expand_ref[:, :],
+                             col_t.astype(expand_ref.dtype),
+                             preferred_element_type=acc_dtype)
+            return t_acc + g_t * cexp_t
+
+        t_acc = jax.lax.fori_loop(
+            0, num_points, point_body,
+            jnp.zeros((wincg, hw_out), acc_dtype))
+        out_ref[0, gi] = jnp.dot(
+            sel_ref[:, :], t_acc.astype(sel_ref.dtype),
+            preferred_element_type=acc_dtype).astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, group, group_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_points", "h_in", "w_in", "group",
+                     "group_channels"),
+)
+def dcnv3_sample_pallas_tg(
+    feat: jax.Array,   # [N, G, H_in, W_in*Cg]
+    py: jax.Array,     # [N, G, P, HoWo]
+    px: jax.Array,
+    mask: jax.Array,
+    *,
+    num_points: int,
+    h_in: int,
+    w_in: int,
+    group: int,
+    group_channels: int,
+) -> jax.Array:
+    """Group-coarsened transposed sampler.  Returns [N, G, Cg, HoWo]."""
+    n, g = feat.shape[0], feat.shape[1]
+    hw_out = py.shape[-1]
+    cg = group_channels
+    wincg = w_in * cg
+
+    # VMEM: feat_t all groups (g*wincg*h_in*2B) + coords (3*g*P*tile*4B)
+    # + out (g*cg*tile*2B) + working [wincg, tile] f32 buffers (~3x);
+    # Mosaic double-buffers input blocks, so stay well under the 16MB cap
+    budget = 6 * 1024 * 1024
+    tile = hw_out
+
+    def vmem(t):
+        return (g * wincg * h_in * 2 + 3 * g * num_points * t * 4
+                + g * cg * t * 2 + 3 * wincg * t * 4)
+
+    while vmem(tile) > budget and tile % 2 == 0:
+        tile //= 2
+    n_tiles = hw_out // tile
+
+    feat_t = jnp.swapaxes(feat, -1, -2)  # [N, G, WinCg, Hin]
+
+    expand = np.zeros((wincg, w_in), np.float32)
+    expand[np.arange(wincg), np.arange(wincg) // cg] = 1.0
+    expand = jnp.asarray(expand, feat.dtype)
+    sel = np.zeros((cg, wincg), np.float32)
+    sel[np.arange(wincg) % cg, np.arange(wincg)] = 1.0
+    sel = jnp.asarray(sel, feat.dtype)
+
+    kernel = functools.partial(
+        _sampling_kernel_tg, num_points=num_points, h_in=h_in, w_in=w_in,
+        cg=cg, group=group, acc_dtype=jnp.float32)
+
+    coord_spec = pl.BlockSpec((1, g, num_points, tile),
+                              lambda i, o: (i, 0, 0, o),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, g, cg, hw_out), feat.dtype),
+        grid=(n, n_tiles),
+        in_specs=[
+            coord_spec, coord_spec, coord_spec,
+            pl.BlockSpec((1, g, wincg, h_in), lambda i, o: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wincg, w_in), lambda i, o: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cg, wincg), lambda i, o: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, g, cg, tile),
+                               lambda i, o: (i, 0, 0, o),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * g * num_points * hw_out * h_in * wincg,
+            bytes_accessed=feat.size * 2 + py.size * 4 * 3
+            + n * g * hw_out * cg * 2,
+            transcendentals=0,
+        ),
+    )(py, px, mask, feat_t, expand, sel)
+
+
 # ---------------------------------------------------------------------------
 # Backward kernel (training): gradients of the transposed-layout sampler.
 # All terms are the same selector builds + MXU contractions as the forward:

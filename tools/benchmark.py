@@ -20,6 +20,15 @@ def main():
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--image-size", type=int, nargs=2, default=None)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--train", action="store_true",
+                    help="benchmark the jitted TRAIN step instead of "
+                         "inference (synthetic GT)")
+    ap.add_argument("--accum-steps", type=int, default=1)
+    ap.add_argument("--mfu", action="store_true",
+                    help="report XLA-exact FLOPs and model FLOPs "
+                         "utilization (peak from --peak-tflops)")
+    ap.add_argument("--peak-tflops", type=float, default=197.0,
+                    help="chip peak bf16 TFLOP/s (v5e: 197)")
     ap.add_argument("--cfg-options", nargs="*", default=[])
     args = ap.parse_args()
 
@@ -40,6 +49,52 @@ def main():
                     jnp.float32)
     variables = fast_variables(model, x)
 
+    if args.train:
+        from spike2former_tpu.engine import (
+            init_state, make_optimizer, make_train_step)
+
+        tx = make_optimizer(variables["params"])
+        from spike2former_tpu.engine.train import TrainState
+        import optax
+
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(variables["params"]))
+        sem = jnp.asarray(rng.integers(0, cfg.model.num_classes,
+                                       (args.batch_size, *size)), jnp.int32)
+        step = jax.jit(make_train_step(
+            model, tx, num_classes=cfg.model.num_classes,
+            max_gt=cfg.train.max_gt, matcher=cfg.train.matcher,
+            accum_steps=args.accum_steps))
+
+        def run(st):
+            st, metrics = step(st, x, sem)
+            return st, metrics
+
+        for _ in range(args.warmup):
+            state, metrics = run(state)
+        float(metrics["total"])
+        t0 = time.time()
+        for _ in range(args.num_iters):
+            state, metrics = run(state)
+        float(metrics["total"])
+        dt = (time.time() - t0) / args.num_iters
+        flops_str = ""
+        if args.mfu:
+            from spike2former_tpu.utils.flops import cost_analysis
+
+            costs = cost_analysis(lambda s, i, g: step(s, i, g),
+                                  state, x, sem)
+            fl = costs.get("flops", float("nan"))
+            mfu = fl / dt / (args.peak_tflops * 1e12)
+            flops_str = f", {fl/1e12:.2f} TFLOP/step, MFU {mfu*100:.1f}%"
+        print(f"{cfg.name} TRAIN: {dt*1000:.2f} ms/iter, "
+              f"{args.batch_size/dt:.2f} img/s (batch {args.batch_size}, "
+              f"{size[0]}x{size[1]}, T={cfg.model.T}, "
+              f"accum {args.accum_steps}{flops_str})")
+        return
+
     fwd = jax.jit(lambda v, im: model.apply(
         v, im, method=type(model).predict_logits))
     for _ in range(args.warmup):
@@ -52,8 +107,20 @@ def main():
     float(out.mean())  # device sync
     dt = (time.time() - t0) / args.num_iters
     fps = args.batch_size / dt
+    flops_str = ""
+    if args.mfu:
+        from spike2former_tpu.utils.flops import cost_analysis
+
+        costs = cost_analysis(
+            lambda v, im: model.apply(v, im,
+                                      method=type(model).predict_logits),
+            variables, x)
+        fl = costs.get("flops", float("nan"))
+        mfu = fl / dt / (args.peak_tflops * 1e12)
+        flops_str = f", {fl/1e12:.2f} TFLOP/fwd, MFU {mfu*100:.1f}%"
     print(f"{cfg.name}: {dt*1000:.2f} ms/iter, {fps:.2f} img/s "
-          f"(batch {args.batch_size}, {size[0]}x{size[1]}, T={cfg.model.T})")
+          f"(batch {args.batch_size}, {size[0]}x{size[1]}, "
+          f"T={cfg.model.T}{flops_str})")
 
 
 if __name__ == "__main__":
