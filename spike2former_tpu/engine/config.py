@@ -202,6 +202,18 @@ def _cityscapes_spike2former_sdtv3() -> Config:
     )
 
 
+def _ade_spike2former_sdtv3mae() -> Config:
+    """Spiking_vit_MetaFormerv3 (sdtv3MAE.py) backbone — registered in the
+    reference but shipped without its own config; exposed here so the MAE
+    flavor is runnable (CSWin striped attention, multispike8, no stage-4
+    downsample)."""
+    return Config(
+        name="SDTv3MAE_Spike2former_ade20k_512x512",
+        model=ModelConfig(variant="sdtv3mae", T=4, num_classes=150),
+        data=DataConfig(dataset="ade20k"),
+    )
+
+
 def _fpn_sdtv3(size: str) -> Config:
     """fpn_sdtv3_512x512_{10M,19M}_ade20k.py — FPN family."""
     dims = (32, 64, 128, 192) if size == "10M" else (48, 96, 192, 256)
@@ -242,6 +254,7 @@ PRESETS: dict[str, Any] = {
     "SDTv3_b_Spike2former_Cityscapes_512x1024":
         _cityscapes_spike2former_sdtv3,
     "SDTv2_maskformer_coco_panoptic": _coco_panoptic_spike2former,
+    "SDTv3MAE_Spike2former_ade20k_512x512": _ade_spike2former_sdtv3mae,
     "fpn_sdtv3_512x512_10M_ade20k": lambda: _fpn_sdtv3("10M"),
     "fpn_sdtv3_512x512_19M_ade20k": lambda: _fpn_sdtv3("19M"),
 }

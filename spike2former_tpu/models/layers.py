@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.spike import qspike, multispike_norm, spike_rate
+from ..ops.spike import (qspike, multispike_norm, multispike8,
+                         spike_rate)
 
 SpikeFn = Callable[[jax.Array], jax.Array]
 
@@ -39,6 +40,7 @@ SPIKE_FNS: dict[str, tuple[SpikeFn, float]] = {
     # name -> (fn, quantization level D used for firing-rate stats)
     "qspike": (qspike, 8.0),
     "multispike_norm": (multispike_norm, 4.0),
+    "multispike8": (multispike8, 8.0),
 }
 
 

@@ -96,6 +96,115 @@ class SpikeAttention(nn.Module):
         return unfold_t(out, t)
 
 
+class CSWinSpikeAttention(nn.Module):
+    """sdtv3MAE's striped spiking attention (``MS_Attention_linear_cswin``
+    + ``LePEAttention``, sdtv3MAE.py:257-436): conv1x1 q/k, v widened by
+    ``lamda_ratio``; channels split into two branches attending within
+    horizontal / vertical stripes (``split_num=2``) — or one global branch
+    when ``last_stage`` — with the softmax-free ``(q k^T) v * (scale*2)``
+    form.  Input/output: [T, B, H, W, C]."""
+
+    dim: int
+    num_heads: int = 8
+    lamda_ratio: int = 4
+    split_num: int = 2
+    last_stage: bool = False
+    spike: str = "multispike8"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        t, b, h, w, c = x.shape
+        cv = self.dim * self.lamda_ratio
+        scale = (self.dim // self.num_heads) ** -0.5
+
+        xf, _ = fold_t(x)
+        xf = Spike(self.spike)(xf)
+        q = Spike(self.spike)(ConvBN(self.dim, (1, 1), dtype=self.dtype,
+                                     name="q_conv")(xf, train))
+        k = Spike(self.spike)(ConvBN(self.dim, (1, 1), dtype=self.dtype,
+                                     name="k_conv")(xf, train))
+        v = Spike(self.spike)(ConvBN(cv, (1, 1), dtype=self.dtype,
+                                     name="v_conv")(xf, train))
+
+        def stripe_attn(qb, kb, vb, h_num, w_num, heads):
+            # [(TB), H, W, Cb] -> stripes of (H/h_num, W/w_num) tokens
+            tb, hh, ww, cb = qb.shape
+            cvb = vb.shape[-1]
+            assert hh % h_num == 0 and ww % w_num == 0, (hh, ww)
+            hs, ws = hh // h_num, ww // w_num
+            n = hs * ws
+
+            def part(y, ch):
+                y = y.reshape(tb, h_num, hs, w_num, ws, ch)
+                y = y.transpose(0, 1, 3, 2, 4, 5)
+                return y.reshape(tb * h_num * w_num, n, heads,
+                                 ch // heads).transpose(0, 2, 1, 3)
+
+            qh = part(qb, cb)
+            kh = part(kb, cb)
+            vh = part(vb, cvb)
+            kv = jnp.einsum("snc,snd->scd", kh.reshape(-1, n, cb // heads),
+                            vh.reshape(-1, n, cvb // heads),
+                            preferred_element_type=jnp.float32)
+            out = jnp.einsum(
+                "snc,scd->snd", qh.reshape(-1, n, cb // heads),
+                kv.astype(qh.dtype),
+                preferred_element_type=jnp.float32) * (scale * 2)
+            out = out.astype(qb.dtype).reshape(
+                tb * h_num * w_num, heads, n, cvb // heads)
+            out = out.transpose(0, 2, 1, 3).reshape(
+                tb, h_num, w_num, hs, ws, cvb)
+            out = out.transpose(0, 1, 3, 2, 4, 5).reshape(tb, hh, ww, cvb)
+            return out
+
+        if self.last_stage:
+            out = stripe_attn(q, k, v, 1, 1, self.num_heads)
+        else:
+            half, vhalf = c // 2, cv // 2
+            bh = self.num_heads // 2
+            o1 = stripe_attn(q[..., :half], k[..., :half], v[..., :vhalf],
+                             1, self.split_num, bh)
+            o2 = stripe_attn(q[..., half:], k[..., half:], v[..., vhalf:],
+                             self.split_num, 1, bh)
+            out = jnp.concatenate([o1, o2], axis=-1)
+
+        out = Spike(self.spike)(out)
+        out = ConvBN(self.dim, (1, 1), dtype=self.dtype,
+                     name="proj_conv")(out, train)
+        return unfold_t(out, t)
+
+
+class MSBlockCSWin(nn.Module):
+    """sdtv3MAE's ``MS_Block_cswin`` (sdtv3MAE.py:439-485): layer-scaled
+    (init 1e-6) residuals over SepConv_Spike, CSWin attention, and MLP."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: int = 4
+    last_stage: bool = False
+    layer_scale: float = 1e-6
+    spike: str = "multispike8"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def gamma(name):
+            return self.param(name, nn.initializers.constant(
+                self.layer_scale), (self.dim,))
+
+        x = x + gamma("layer_scale1") * SepConv(
+            self.dim, kernel_size=3, padding=1, dw_bn=True, num_spikes=3,
+            spike=self.spike, dtype=self.dtype)(x, train)
+        x = x + gamma("layer_scale2") * CSWinSpikeAttention(
+            self.dim, self.num_heads, last_stage=self.last_stage,
+            spike=self.spike, dtype=self.dtype)(x, train)
+        x = x + gamma("layer_scale3") * MSMLP(
+            self.dim * self.mlp_ratio, spike=self.spike,
+            dtype=self.dtype)(x, train)
+        return x
+
+
 class MSBlock(nn.Module):
     """Transformer-ish block: (optional SepConv residual) + attn + MLP
     residuals (sdtv2.py:347-383 MS_Block; sdtv3.py:318-360
@@ -135,6 +244,10 @@ class SpikingMetaFormer(nn.Module):
     lamda_ratio=4 and doubled scale, SepConv_Spike conv-blocks, and an extra
     SepConv residual in attention blocks — Spiking_vit_MetaFormerv2
     (sdtv3.py:401-616).
+    ``variant='sdtv3mae'``: the MAE-pretrain flavor Spiking_vit_MetaFormerv3
+    (sdtv3MAE.py:526-750): round-half-up D=8 spikes, CSWin striped attention
+    with layer-scaled (1e-6) blocks, NO stage-4 downsample (both deep stages
+    at embed_dim[2], /16), outputs averaged over T (returned as T=1).
     """
 
     embed_dim: Sequence[int] = (64, 128, 256, 360)
@@ -162,8 +275,10 @@ class SpikingMetaFormer(nn.Module):
         # role of mmdet/utils/memory.py, done the XLA way).
         Conv = nn.remat(MSConvBlock) if self.remat else MSConvBlock
         Block = nn.remat(MSBlock) if self.remat else MSBlock
-        v3 = self.variant == "sdtv3"
-        spike = "multispike_norm" if v3 else "qspike"
+        mae = self.variant == "sdtv3mae"
+        v3 = self.variant == "sdtv3" or mae
+        spike = ("multispike8" if mae
+                 else "multispike_norm" if v3 else "qspike")
         conv_kw = dict(
             mlp_ratio=self.mlp_ratio,
             sepconv_dw_bn=v3, sepconv_num_spikes=3 if v3 else 2,
@@ -194,6 +309,22 @@ class SpikingMetaFormer(nn.Module):
         x3 = x
         x = DownSampling(e[2], spike=spike, dtype=self.dtype,
                          name="down3")(x, train)
+        if mae:
+            CSBlock = (nn.remat(MSBlockCSWin) if self.remat
+                       else MSBlockCSWin)
+            for i in range(self.depths_stage3):
+                x = CSBlock(e[2], self.num_heads, self.mlp_ratio,
+                            spike=spike, dtype=self.dtype,
+                            name=f"block3_{i}")(x, train)
+            # no downsample4 in the MAE variant (sdtv3MAE.py:736-743);
+            # stage 4 stays at embed_dim[2], global attention
+            for i in range(self.depths_stage4):
+                x = CSBlock(e[2], self.num_heads, self.mlp_ratio,
+                            last_stage=True, spike=spike, dtype=self.dtype,
+                            name=f"block4_{i}")(x, train)
+            x4 = x
+            # MAE outputs are averaged over T (:745) — keep a T=1 axis
+            return [y.mean(0, keepdims=True) for y in (x1, x2, x3, x4)]
         for i in range(self.depths_stage3):
             x = Block(e[2], name=f"block3_{i}", **block_kw)(x, train)
         x = DownSampling(e[3], stride=1, spike=spike, dtype=self.dtype,

@@ -59,8 +59,9 @@ class Spike2Former(nn.Module):
             variant=self.variant, depths_stage3=self.depths_stage3,
             depths_stage4=self.depths_stage4, norm_eval=self.norm_eval,
             dtype=self.dtype)
+        last_c = e[2] if self.variant == "sdtv3mae" else e[3]
         self.head = MaskFormerHead(
-            in_channels=(e[0] // 2, e[0], e[1], e[3]),
+            in_channels=(e[0] // 2, e[0], e[1], last_c),
             feat_channels=self.feat_channels,
             out_channels=self.feat_channels,
             num_classes=self.num_classes,

@@ -72,6 +72,26 @@ def multispike4(x: jax.Array) -> jax.Array:
     return quant_ste(x, 4.0)
 
 
+@jax.custom_vjp
+def multispike8(x: jax.Array) -> jax.Array:
+    """sdtv3MAE's ``Multispike``: ``floor(clamp(x, 0, 8) + 0.5) / 8`` —
+    round-HALF-UP (not banker's rounding) with an STE gradient gated to the
+    OPEN interval 0 < x < 8 (mmseg/models/backbones/sdtv3MAE.py:136-160)."""
+    return jnp.floor(jnp.clip(x, 0.0, 8.0) + 0.5) * 0.125
+
+
+def _ms8_fwd(x):
+    return multispike8(x), x
+
+
+def _ms8_bwd(x, g):
+    mask = (x > 0.0) & (x < 8.0)
+    return (jnp.where(mask, g, jnp.zeros_like(g)),)
+
+
+multispike8.defvjp(_ms8_fwd, _ms8_bwd)
+
+
 def spike_rate(y: jax.Array, d: float) -> jax.Array:
     """Firing-rate statistic of a spike-site output ``y``.
 

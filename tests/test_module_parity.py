@@ -420,6 +420,99 @@ def test_sdtv3_full_block_parity():
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
 
 
+def q8up(x):
+    """sdtv3MAE Multispike: floor(clamp(x,0,8)+0.5)/8 (round half UP)."""
+    return torch.floor(torch.clamp(x, 0, 8) + 0.5) / 8
+
+
+def test_multispike8_parity_and_grad():
+    from spike2former_tpu.ops.spike import multispike8
+
+    x = np.asarray([-1.0, 0.0, 0.49, 0.5, 3.5, 7.99, 8.0, 9.0], np.float32)
+    got = np.asarray(multispike8(jnp.asarray(x)))
+    want = q8up(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(got, want)
+    # half-up vs banker's: 0.5 -> 1/8 (round() would give 0)
+    assert got[3] == 0.125
+    g = np.asarray(jax.grad(lambda v: multispike8(v).sum())(jnp.asarray(x)))
+    np.testing.assert_array_equal(g, [0, 0, 1, 1, 1, 1, 0, 0])
+
+
+class TorchCSWinAttention(nn.Module):
+    """sdtv3MAE MS_Attention_linear_cswin + LePEAttention
+    (sdtv3MAE.py:257-436), independently written."""
+
+    def __init__(self, dim, heads, lamda=4, last_stage=False, split=2):
+        super().__init__()
+        self.dim, self.h, self.lamda = dim, heads, lamda
+        self.last, self.split = last_stage, split
+        cv = dim * lamda
+        self.q = nn.Sequential(nn.Conv2d(dim, dim, 1, bias=False),
+                               nn.BatchNorm2d(dim))
+        self.k = nn.Sequential(nn.Conv2d(dim, dim, 1, bias=False),
+                               nn.BatchNorm2d(dim))
+        self.v = nn.Sequential(nn.Conv2d(dim, cv, 1, bias=False),
+                               nn.BatchNorm2d(cv))
+        self.proj = nn.Sequential(nn.Conv2d(cv, dim, 1, bias=False),
+                                  nn.BatchNorm2d(dim))
+
+    def _stripe(self, q, k, v, h_num, w_num, heads):
+        b, c, hh, ww = q.shape
+        cv = v.shape[1]
+        hs, ws = hh // h_num, ww // w_num
+        n = hs * ws
+
+        def part(y, ch):
+            y = y.reshape(b, ch, h_num, hs, w_num, ws)
+            y = y.permute(0, 2, 4, 3, 5, 1).reshape(-1, n, ch)
+            return y.reshape(-1, n, heads, ch // heads).permute(0, 2, 1, 3)
+
+        qh, kh, vh = part(q, c), part(k, c), part(v, cv)
+        scale = (self.dim // self.h) ** -0.5
+        out = (qh @ kh.transpose(-2, -1)) @ vh * (scale * 2)
+        out = out.permute(0, 2, 1, 3).reshape(-1, n, cv)
+        out = out.reshape(b, h_num, w_num, hs, ws, cv)
+        out = out.permute(0, 1, 3, 2, 4, 5).reshape(b, hh, ww, cv)
+        return out.permute(0, 3, 1, 2)
+
+    def forward(self, x):
+        xs = q8up(x)
+        q = q8up(self.q(xs))
+        k = q8up(self.k(xs))
+        v = q8up(self.v(xs))
+        c, cv = self.dim, self.dim * self.lamda
+        if self.last:
+            out = self._stripe(q, k, v, 1, 1, self.h)
+        else:
+            o1 = self._stripe(q[:, :c // 2], k[:, :c // 2], v[:, :cv // 2],
+                              1, self.split, self.h // 2)
+            o2 = self._stripe(q[:, c // 2:], k[:, c // 2:], v[:, cv // 2:],
+                              self.split, 1, self.h // 2)
+            out = torch.cat([o1, o2], dim=1)
+        return self.proj(q8up(out))
+
+
+@pytest.mark.parametrize("last_stage", [False, True])
+def test_cswin_attention_parity(last_stage):
+    from spike2former_tpu.models.sdtv2 import CSWinSpikeAttention
+
+    dim, heads = 16, 4
+    mod = CSWinSpikeAttention(dim, heads, last_stage=last_stage)
+    x = RNG.normal(0, 2, (1, 2, 8, 8, dim)).astype(np.float32)
+    vars_ = randomize_variables(mod.init(jax.random.PRNGKey(0), x))
+    got = np.asarray(mod.apply(vars_, jnp.asarray(x)))
+
+    p, s = vars_["params"], vars_["batch_stats"]
+    t = TorchCSWinAttention(dim, heads, last_stage=last_stage).eval()
+    for name, seq in [("q_conv", t.q), ("k_conv", t.k), ("v_conv", t.v),
+                      ("proj_conv", t.proj)]:
+        _load_convbn(seq[0], seq[1], p[name], s[name])
+    xt = torch.from_numpy(x.reshape(2, 8, 8, dim).transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        want = t(xt).numpy().transpose(0, 2, 3, 1).reshape(1, 2, 8, 8, dim)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
 def test_spike_mha_parity():
     """Softmax-free token attention: q/k/v conv1d+BN, scores/sqrt(C)."""
     dim, heads = 16, 4
