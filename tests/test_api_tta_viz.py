@@ -95,3 +95,51 @@ def test_init_and_inference_model(tmp_path):
     assert pred.shape == (50, 70)
     assert pred.dtype == np.int32
     assert pred.min() >= 0 and pred.max() < 12
+
+
+def test_cityscapes_official_protocol(tmp_path):
+    """Native reimplementation of cityscapesscripts'
+    evalPixelLevelSemanticLabeling core: hand-computed IoUs, void-GT
+    exclusion, and the directory protocol via the submission writer."""
+    import os
+
+    from PIL import Image
+
+    from spike2former_tpu.evaluation import (
+        CityscapesEval, evaluate_cityscapes_dir)
+    from spike2former_tpu.evaluation.visualize import (
+        CITYSCAPES_TRAIN2LABEL, write_cityscapes_pred)
+
+    # GT: left half road(7), right half sky(23); top row void(0)
+    gt = np.full((8, 8), 7, np.uint8)
+    gt[:, 4:] = 23
+    gt[0, :] = 0
+    # pred in trainIds: road=0, sky=10; get half the sky wrong as road
+    pred_train = np.zeros((8, 8), np.int32)
+    pred_train[:, 4:] = 10
+    pred_train[:, 6:] = 0  # wrong: road where GT says sky
+    pred_label = CITYSCAPES_TRAIN2LABEL[pred_train]
+
+    ev = CityscapesEval()
+    ev.update(pred_label, gt)
+    res = ev.compute()
+    # valid pixels: 7 rows; road GT 7x4=28 all correct, road FP 7x2=14
+    # -> IoU_road = 28/42; sky: TP 14, FN 14 -> 0.5
+    np.testing.assert_allclose(res["classes"]["road"], 100 * 28 / 42)
+    np.testing.assert_allclose(res["classes"]["sky"], 50.0)
+
+    # directory protocol via the submission writer
+    pdir = tmp_path / "pred"
+    gdir = tmp_path / "gt" / "val" / "city"
+    os.makedirs(gdir)
+    write_cityscapes_pred(pred_train,
+                          str(pdir / "val" / "city" / "x_leftImg8bit.png"))
+    Image.fromarray(gt).save(gdir / "x_gtFine_labelIds.png")
+    out = evaluate_cityscapes_dir(str(pdir), str(tmp_path / "gt"))
+    assert out["images"] == 1
+    np.testing.assert_allclose(out["classes"]["sky"], 50.0)
+
+    # perfect prediction -> 100
+    ev2 = CityscapesEval()
+    ev2.update(gt, gt)
+    assert ev2.compute()["mIoU"] == 100.0
