@@ -96,10 +96,10 @@ def _pallas_sample_fwd(feat, py, px, mask, num_points, h_in, w_in, group,
 
 
 def _pallas_sample_bwd(num_points, h_in, w_in, group, cg, res, dout):
-    from .pallas.dcnv3_kernel import dcnv3_sample_pallas_t_bwd
+    from .pallas.dcnv3_kernel import dcnv3_sample_pallas_t5_bwd
 
     feat, py, px, mask = res
-    dfeat, dpy, dpx, dm = dcnv3_sample_pallas_t_bwd(
+    dfeat, dpy, dpx, dm = dcnv3_sample_pallas_t5_bwd(
         feat, py, px, mask, dout, num_points=num_points, h_in=h_in,
         w_in=w_in, group=group, group_channels=cg)
     return dfeat, dpy, dpx, dm

@@ -607,6 +607,185 @@ def dcnv3_sample_pallas_tg(
     )(py, px, mask, feat_t, expand, sel)
 
 
+def _sampling_kernel_t5_bwd(py_ref, px_ref, m_ref, feat_ref, sel_ref,
+                            dout_ref, dfeat_ref, dpy_ref, dpx_ref, dm_ref,
+                            row_scr, col_scr, *, num_points: int,
+                            h_in: int, w_in: int, cg: int, acc_dtype):
+    """v5-style backward: selectors built once into scratch, then THREE
+    batched matmuls (g_all, dfeat, drow_all) instead of 5 per point.
+    Layout: feat rows j = c*Win + v (v-fastest), same as the v5 forward.
+    """
+    feat_t = feat_ref[0, 0]            # [CgWin, Hin]
+    tile = py_ref.shape[-1]
+    wincg = w_in * cg
+
+    o_idx = pl.program_id(2)
+
+    @pl.when(o_idx == 0)
+    def _init():
+        dfeat_ref[0, 0] = jnp.zeros_like(dfeat_ref[0, 0])
+
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (h_in, tile), 0)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (w_in, tile), 0)
+
+    def build(p, _):
+        py = py_ref[0, 0, p][None, :]
+        px = px_ref[0, 0, p][None, :]
+        m = m_ref[0, 0, p][None, :]
+        y0f = jnp.floor(py)
+        fy = (py - y0f).astype(acc_dtype)
+        y0 = y0f.astype(jnp.int32)
+        row_t = ((iota_u == y0).astype(acc_dtype) * (1.0 - fy)
+                 + (iota_u == y0 + 1).astype(acc_dtype) * fy)
+        row_scr[:, pl.dslice(p * tile, tile)] = (
+            row_t * m.astype(acc_dtype)).astype(row_scr.dtype)
+        x0f = jnp.floor(px)
+        fx = (px - x0f).astype(acc_dtype)
+        x0 = x0f.astype(jnp.int32)
+        col_scr[:, pl.dslice(p * tile, tile)] = (
+            (iota_v == x0).astype(acc_dtype) * (1.0 - fx)
+            + (iota_v == x0 + 1).astype(acc_dtype) * fx
+        ).astype(col_scr.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, num_points, build, 0)
+
+    # upstream gradient expanded to the (c, v) lattice, tiled per point
+    dout = dout_ref[0, 0].astype(acc_dtype)           # [Cg, tile]
+    d_t = jax.lax.dot_general(
+        sel_ref[:, :].astype(acc_dtype), dout,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype)             # [CgWin, tile]
+    d_rep = pltpu.repeat(d_t, num_points, axis=1)     # [CgWin, P*tile]
+
+    cexp_all = pltpu.repeat(
+        col_scr[:, :].astype(acc_dtype), cg, axis=0)  # [CgWin, P*tile]
+    g_all = jnp.dot(feat_t, row_scr[:, :].astype(feat_t.dtype),
+                    preferred_element_type=acc_dtype)  # [CgWin, P*tile]
+
+    dg_all = d_rep * cexp_all
+    dcexp_all = d_rep * g_all
+
+    # feature gradient: dF += dg_all @ row_all^T (K = P*tile — efficient)
+    dfeat_ref[0, 0] = dfeat_ref[0, 0] + jax.lax.dot_general(
+        dg_all, row_scr[:, :].astype(acc_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=acc_dtype).astype(dfeat_ref.dtype)
+
+    # row gradients for every point in one matmul: [Hin, P*tile]
+    drow_all = jax.lax.dot_general(
+        feat_t.astype(acc_dtype), dg_all,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype)
+
+    # col gradients: sum dcexp over the cg channel blocks (rows j=c*Win+v)
+    dcol_all = dcexp_all[:w_in, :]
+    for k in range(1, cg):
+        dcol_all = dcol_all + dcexp_all[k * w_in:(k + 1) * w_in, :]
+
+    for p in range(num_points):  # static (P small); value slices need it
+        py = py_ref[0, 0, p][None, :]
+        px = px_ref[0, 0, p][None, :]
+        m = m_ref[0, 0, p][None, :].astype(acc_dtype)
+        y0 = jnp.floor(py).astype(jnp.int32)
+        s0 = (iota_u == y0).astype(acc_dtype)
+        s1 = (iota_u == y0 + 1).astype(acc_dtype)
+        fy = (py - jnp.floor(py)).astype(acc_dtype)
+        row_u = s0 * (1.0 - fy) + s1 * fy
+        drow = drow_all[:, p * tile:(p + 1) * tile]
+        dm_ref[0, 0, p] = jnp.sum(drow * row_u, axis=0).astype(dm_ref.dtype)
+        dpy_ref[0, 0, p] = (m[0] * jnp.sum(drow * (s1 - s0), axis=0)
+                            ).astype(dpy_ref.dtype)
+        x0 = jnp.floor(px).astype(jnp.int32)
+        t0 = (iota_v == x0).astype(acc_dtype)
+        t1 = (iota_v == x0 + 1).astype(acc_dtype)
+        dcol = dcol_all[:, p * tile:(p + 1) * tile]
+        dpx_ref[0, 0, p] = jnp.sum(dcol * (t1 - t0), axis=0).astype(
+            dpx_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_points", "h_in", "w_in", "group",
+                     "group_channels"),
+)
+def dcnv3_sample_pallas_t5_bwd(feat, py, px, mask, dout, *, num_points,
+                               h_in, w_in, group, group_channels):
+    """Backward of ``dcnv3_sample_pallas_t5``.  Same I/O contract as the
+    v2 backward: feat [N,G,Hin,Win*Cg] (v-major caller layout),
+    dout [N,G,Cg,HoWo]; returns (dfeat in caller layout, dpy, dpx, dmask).
+    """
+    n, g = feat.shape[0], feat.shape[1]
+    hw_out = py.shape[-1]
+    cg = group_channels
+    wincg = w_in * cg
+
+    budget = 6 * 1024 * 1024
+    tile = hw_out
+
+    def vmem(t):
+        return (2 * h_in * num_points * t * feat.dtype.itemsize
+                + 4 * wincg * num_points * t * 4)
+
+    while vmem(tile) > budget and tile % 2 == 0:
+        tile //= 2
+    n_tiles = hw_out // tile
+
+    feat_cv = feat.reshape(n, g, h_in, w_in, cg)
+    feat_t = jnp.transpose(feat_cv, (0, 1, 4, 3, 2)).reshape(
+        n, g, wincg, h_in)
+    sel = np.zeros((cg, wincg), np.float32)
+    sel[np.arange(wincg) // w_in, np.arange(wincg)] = 1.0
+    sel = jnp.asarray(sel, feat.dtype)
+
+    kernel = functools.partial(
+        _sampling_kernel_t5_bwd, num_points=num_points, h_in=h_in,
+        w_in=w_in, cg=cg, acc_dtype=jnp.float32)
+
+    coord_spec = pl.BlockSpec((1, 1, num_points, tile),
+                              lambda i, j, o: (i, j, 0, o),
+                              memory_space=pltpu.VMEM)
+    dfeat_t, dpy, dpx, dm = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, g, wincg, h_in), jnp.float32),
+            jax.ShapeDtypeStruct((n, g, num_points, hw_out), jnp.float32),
+            jax.ShapeDtypeStruct((n, g, num_points, hw_out), jnp.float32),
+            jax.ShapeDtypeStruct((n, g, num_points, hw_out), jnp.float32),
+        ),
+        grid=(n, g, n_tiles),
+        in_specs=[
+            coord_spec, coord_spec, coord_spec,
+            pl.BlockSpec((1, 1, wincg, h_in), lambda i, j, o: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cg, wincg), lambda i, j, o: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cg, tile), lambda i, j, o: (i, j, 0, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, wincg, h_in), lambda i, j, o: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            coord_spec, coord_spec, coord_spec,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((h_in, num_points * tile), feat.dtype),
+            pltpu.VMEM((w_in, num_points * tile), feat.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n * g * num_points * hw_out * h_in * wincg,
+            bytes_accessed=feat.size * 4 + py.size * 4 * 6,
+            transcendentals=0,
+        ),
+    )(py, px, mask, feat_t, sel, dout)
+
+    # rows j = c*Win + v back to the caller's [Hin, Win*Cg] (v-major)
+    dfeat = jnp.transpose(
+        dfeat_t.reshape(n, g, cg, w_in, h_in),
+        (0, 1, 4, 3, 2)).reshape(n, g, h_in, wincg).astype(feat.dtype)
+    return dfeat, dpy, dpx, dm
+
+
 # ---------------------------------------------------------------------------
 # Backward kernel (training): gradients of the transposed-layout sampler.
 # All terms are the same selector builds + MXU contractions as the forward:

@@ -83,7 +83,7 @@ def main():
         warmup_iters=min(500, args.steps // 10), total_iters=args.steps)
     state = init_state(model, tx, jax.random.PRNGKey(0), x0)
     step_fn = jax.jit(make_train_step(
-        model, tx, num_classes=args.num_classes, max_gt=32,
+        model, tx, num_classes=args.num_classes, max_gt=64,
         accum_steps=args.accum_steps))
 
     log_path = os.path.join(args.work_dir, "burnin.jsonl")
