@@ -260,6 +260,7 @@ class SpikingMetaFormer(nn.Module):
     depths_stage4: int = 2
     norm_eval: bool = False
     remat: bool = False
+    collapse_t: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -292,7 +293,20 @@ class SpikingMetaFormer(nn.Module):
             spike=spike, dtype=self.dtype)
 
         e = self.embed_dim
-        x = jnp.broadcast_to(images[None], (self.T,) + images.shape)
+        # Timestep collapse: every spike family used by these variants
+        # (qspike / multispike_norm / multispike8) is a stateless,
+        # deterministic elementwise quantizer — there is no membrane state
+        # carried across time steps (the reference's Qtrick architecture
+        # replaces Q_IFNode with exactly these stateless quant functions,
+        # mmseg/models/utils/Qtrick.py:8-53).  The input is the SAME image
+        # broadcast to every step, and every downstream op folds T into the
+        # batch, so all T time slices are provably identical and the head's
+        # mean-over-T is the single-step value.  When ``collapse_t`` is on,
+        # compute one step instead of T identical ones (exactness asserted
+        # by tests/test_collapse_t.py).  Parameter shapes never contain T,
+        # so checkpoints are unaffected.
+        t_eff = 1 if self.collapse_t else self.T
+        x = jnp.broadcast_to(images[None], (t_eff,) + images.shape)
         x = DownSampling(e[0] // 2, kernel=7, stride=2, padding=3,
                          first_layer=True, spike=spike, dtype=self.dtype,
                          name="down1_1")(x, train)

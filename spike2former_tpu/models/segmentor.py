@@ -50,6 +50,14 @@ class Spike2Former(nn.Module):
     dcn_group: int = 32
     compat: bool = False  # reference-exact layout quirks (for converted ckpts)
     norm_eval: bool = True  # freeze backbone BN stats in training (config :41)
+    # Collapse the timestep axis: the Qtrick spike ops used by every
+    # Spike2Former variant are stateless across T and the input is repeated,
+    # so all T time slices are identical and the head's mean-over-T equals
+    # the single-step value — compute one step instead of T identical ones.
+    # Exact (not approximate); see SpikingMetaFormer.__call__ and
+    # tests/test_collapse_t.py.  Disable to replay the reference's literal
+    # T-times recompute (e.g. for firing-stat dumps per time step).
+    collapse_t: bool = True
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -58,7 +66,7 @@ class Spike2Former(nn.Module):
             embed_dim=e, num_heads=self.backbone_heads, T=self.T,
             variant=self.variant, depths_stage3=self.depths_stage3,
             depths_stage4=self.depths_stage4, norm_eval=self.norm_eval,
-            dtype=self.dtype)
+            collapse_t=self.collapse_t, dtype=self.dtype)
         last_c = e[2] if self.variant == "sdtv3mae" else e[3]
         self.head = MaskFormerHead(
             in_channels=(e[0] // 2, e[0], e[1], last_c),
