@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.segmentor import Spike2Former, preprocess
-from ..ops.resize import resize_bilinear
+from ..ops.resize import resize_bilinear, resize_bilinear_hw
 
 
 @functools.lru_cache(maxsize=64)
@@ -63,8 +63,7 @@ def _jitted_panoptic(model, num_things, object_mask_thr):
         cls_scores, mask_preds = model.apply(variables, x, False)
         mask = mask_preds[-1]
         hw = images_u8.shape[1:3]
-        mask = resize_bilinear(
-            mask.transpose(0, 2, 3, 1), hw).transpose(0, 3, 1, 2)
+        mask = resize_bilinear_hw(mask, hw)
         return panoptic_inference(cls_scores[-1], mask,
                                   object_mask_thr=object_mask_thr,
                                   num_things=num_things)

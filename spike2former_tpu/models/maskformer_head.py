@@ -185,11 +185,13 @@ def semantic_inference(cls_scores: jax.Array, mask_preds: jax.Array,
     ``einsum(softmax(cls)[..., :-1], sigmoid(masks))``.
 
     cls_scores: [B, nq, ncls+1]; mask_preds: [B, nq, H, W]
-    → [B, H, W, ncls] (channels-last, f32).  ``dtype`` sets the einsum
-    operand precision (accumulation stays f32).
+    → [B, H, W, ncls] (channels-last).  ``dtype`` sets the einsum operand
+    precision AND the output storage dtype (accumulation stays f32 inside
+    the contraction; bf16 output halves the ~2.5 GB logit write per
+    flagship batch, and only exact near-ties can flip the argmax).
     """
     cls_prob = jax.nn.softmax(
         cls_scores.astype(jnp.float32), axis=-1)[..., :-1].astype(dtype)
     mask_prob = jax.nn.sigmoid(mask_preds).astype(dtype)
     return jnp.einsum("bqc,bqhw->bhwc", cls_prob, mask_prob,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32).astype(dtype)

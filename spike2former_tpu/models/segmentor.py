@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.resize import resize_bilinear
+from ..ops.resize import resize_bilinear_hw
 from .maskformer_head import MaskFormerHead, semantic_inference
 from .sdtv2 import SpikingMetaFormer
 
@@ -99,8 +99,7 @@ class Spike2Former(nn.Module):
         hw = images.shape[1:3]
         # the upsample + semantic einsum run in the model compute dtype
         # (bf16 on TPU: ~1.5x faster tail, argmax agreement ~99.8%,
-        # |dlogit| ~1e-3; f32 models keep the reference-exact f32 path)
-        mask = resize_bilinear(
-            mask.astype(self.dtype).transpose(0, 2, 3, 1),
-            hw).transpose(0, 3, 1, 2)
+        # |dlogit| ~1e-3; f32 models keep the reference-exact f32 path);
+        # resize in the native [B, nq, H, W] layout — no transpose passes
+        mask = resize_bilinear_hw(mask.astype(self.dtype), hw)
         return semantic_inference(cls_scores[-1], mask, dtype=self.dtype)

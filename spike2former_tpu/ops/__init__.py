@@ -18,6 +18,7 @@ from .msda import ms_deform_attn
 from .resize import (
     resize_bilinear,
     resize_bilinear_align_corners,
+    resize_bilinear_hw,
     resize_nearest_torch,
 )
 
@@ -26,5 +27,6 @@ __all__ = [
     "multistep_if", "multistep_lif", "multistep_plif", "multistep_qif",
     "sigmoid_surrogate", "atan_surrogate",
     "dcnv3_core", "ms_deform_attn",
-    "resize_bilinear", "resize_bilinear_align_corners", "resize_nearest_torch",
+    "resize_bilinear", "resize_bilinear_align_corners",
+    "resize_bilinear_hw", "resize_nearest_torch",
 ]

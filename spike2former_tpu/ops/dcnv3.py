@@ -159,30 +159,40 @@ def dcnv3_core(
     n, h, w, c = x.shape
     p = kernel_h * kernel_w
     cg = group_channels
-    xp = jnp.pad(x, ((0, 0), (pad_h, pad_h), (pad_w, pad_w), (0, 0)))
-    h_in, w_in = h + 2 * pad_h, w + 2 * pad_w
+    # The reference pads the feature with a zero ring and computes sampling
+    # coordinates in padded space (dcnv3_func.py:156-160).  Materializing
+    # that pad is unnecessary here: the 2-tap selectors already produce zero
+    # weight for taps outside [0, size) — grid_sample's zero padding — so
+    # sampling the UNPADDED feature with coordinates shifted by -pad is
+    # bit-exact (a tap landing on the pad ring contributes exactly 0 either
+    # way).  This keeps the Pallas matmul's row dimension at W*Cg (= 256 for
+    # the flagship, an exact multiple of the 128 MXU sublanes) instead of
+    # (W+2)*Cg = 272 -> 3 sublane blocks: ~33%% less MXU work per layer.
+    h_pad, w_pad = h + 2 * pad_h, w + 2 * pad_w
+    h_in, w_in = h, w
 
     ref, h_out, w_out = _reference_points(
-        h_in, w_in, kernel_h, kernel_w, dilation_h, dilation_w,
+        h_pad, w_pad, kernel_h, kernel_w, dilation_h, dilation_w,
         stride_h, stride_w)
-    grid = _dilation_grid(h_in, w_in, kernel_h, kernel_w, dilation_h,
+    grid = _dilation_grid(h_pad, w_pad, kernel_h, kernel_w, dilation_h,
                           dilation_w)
     base = jnp.asarray(ref[:, None, :] + grid[None, :, :] * offset_scale,
                        dtype=jnp.float32)  # [HoWo, P, 2] (x, y) normalized
 
     hw_out = h_out * w_out
     offset = offset.reshape(n, hw_out, group, p, 2).astype(jnp.float32)
-    spatial_norm = jnp.asarray([w_in, h_in], jnp.float32)
+    spatial_norm = jnp.asarray([w_pad, h_pad], jnp.float32)
     loc = base[None, :, None, :, :] + offset * (offset_scale / spatial_norm)
-    # half-pixel convention of grid_sample(align_corners=False)
-    px = loc[..., 0] * w_in - 0.5  # [N, HoWo, G, P]
-    py = loc[..., 1] * h_in - 0.5
+    # half-pixel convention of grid_sample(align_corners=False), shifted
+    # from padded to unpadded pixel space
+    px = loc[..., 0] * w_pad - 0.5 - pad_w  # [N, HoWo, G, P]
+    py = loc[..., 1] * h_pad - 0.5 - pad_h
 
     dt = x.dtype
     mask = mask.reshape(n, hw_out, group, p)
 
     if _use_pallas(impl):
-        feat = xp.reshape(n, h_in, w_in, group, cg)
+        feat = x.reshape(n, h_in, w_in, group, cg)
         feat = feat.transpose(0, 3, 1, 2, 4).reshape(
             n, group, h_in, w_in * cg)
         py_t = py.transpose(0, 2, 3, 1).astype(jnp.float32)  # [N,G,P,HoWo]
@@ -195,7 +205,7 @@ def dcnv3_core(
         return out
 
     # Grouped features: [N, G, Hin, Win*Cg]
-    feat = xp.reshape(n, h_in, w_in, group, cg)
+    feat = x.reshape(n, h_in, w_in, group, cg)
     feat = feat.transpose(0, 3, 1, 2, 4).reshape(n, group, h_in, w_in * cg)
 
     def process(args):

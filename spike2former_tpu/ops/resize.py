@@ -53,6 +53,45 @@ def resize_bilinear(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     return top * (1 - wy) + bot * wy
 
 
+def resize_bilinear_hw(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Bilinear resize of the LAST TWO axes (``[..., H, W]``, i.e.
+    channels-first), same torch half-pixel ``align_corners=False`` sampling
+    as :func:`resize_bilinear`.
+
+    Resizing the mask-logit stack ``[B, nq, H, W]`` in its native layout
+    avoids two full HBM transpose passes (~2 GB of traffic per flagship
+    batch) that the channels-last helper would require.
+    """
+    *lead, h, w = x.shape
+    oh, ow = out_hw
+    if (oh, ow) == (h, w):
+        return x
+    if oh >= h and ow >= w:
+        # pure upscale: same matmul lowering as resize_bilinear, applied to
+        # the trailing axes directly
+        return jax.image.resize(x, (*lead, oh, ow), method="linear")
+
+    def grid(in_size, out_size):
+        s = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * (
+            in_size / out_size) - 0.5
+        return jnp.clip(s, 0.0, in_size - 1)
+
+    ys, xs = grid(h, oh), grid(w, ow)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = (ys - y0).astype(x.dtype)[:, None]
+    wx = (xs - x0).astype(x.dtype)[None, :]
+
+    def gather(yi, xi):
+        return x[..., yi[:, None], xi[None, :]]
+
+    top = gather(y0, x0) * (1 - wx) + gather(y0, x1) * wx
+    bot = gather(y1, x0) * (1 - wx) + gather(y1, x1) * wx
+    return top * (1 - wy) + bot * wy
+
+
 def resize_bilinear_align_corners(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     """Bilinear resize with ``align_corners=True`` (mmseg resize default in
     some heads)."""

@@ -40,3 +40,15 @@ def test_nearest_matches_torch():
         want = _torch_resize(x, size, "nearest")
         got = np.asarray(resize_nearest_torch(jnp.asarray(x), size))
         np.testing.assert_allclose(got, want)
+
+
+def test_bilinear_hw_matches_torch_channels_first():
+    from spike2former_tpu.ops.resize import resize_bilinear_hw
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 5, 11, 15)).astype(np.float32)  # [B, C, H, W]
+    for size in [(22, 30), (6, 8), (32, 32)]:
+        want = F.interpolate(torch.from_numpy(x), size=size,
+                             mode="bilinear", align_corners=False).numpy()
+        got = np.asarray(resize_bilinear_hw(jnp.asarray(x), size))
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
