@@ -87,13 +87,18 @@ class BatchNorm(nn.Module):
     def __call__(self, x, use_running_average: bool | None = None):
         ura = nn.merge_param(
             "use_running_average", self.use_running_average, use_running_average)
-        return nn.BatchNorm(
+        y = nn.BatchNorm(
             use_running_average=ura,
             momentum=self.momentum,
             epsilon=self.epsilon,
             dtype=self.dtype,
             axis_name=self.axis_name,
         )(x)
+        # flax promotes the output to the param dtype (f32); keep the
+        # activation stream in the caller's compute dtype so bf16 models
+        # don't silently double every BN output / residual chain in HBM.
+        # Stats and normalization still compute in f32 inside nn.BatchNorm.
+        return y if self.dtype is not None else y.astype(x.dtype)
 
 
 class ConvBN(nn.Module):

@@ -82,14 +82,27 @@ def main():
         model.init(jax.random.PRNGKey(0), x0, True)["params"],
         warmup_iters=min(500, args.steps // 10), total_iters=args.steps)
     state = init_state(model, tx, jax.random.PRNGKey(0), x0)
+    # donate the TrainState (XLA reuses param/opt buffers across steps —
+    # one full state copy less in HBM, less fragmentation next to the
+    # periodic-val inference executable)
     step_fn = jax.jit(make_train_step(
         model, tx, num_classes=args.num_classes, max_gt=64,
-        accum_steps=args.accum_steps))
+        accum_steps=args.accum_steps), donate_argnums=0)
 
     log_path = os.path.join(args.work_dir, "burnin.jsonl")
     log = open(log_path, "a")
     losses, gnorms = [], []
     resumed = False
+    # Device-resident batch pool: per-step host->device upload of a fresh
+    # 25 MB synthetic batch costs ~1.5 s over the axon relay and would
+    # dominate the run; cycling a pool of pre-staged device batches keeps
+    # the burn-in measuring the train step, not the tunnel.
+    pool = []
+    for _ in range(16):
+        images, sem = synth_batch(rng, args.batch_size, hw,
+                                  args.num_classes)
+        pool.append((jax.device_put(jnp.asarray(images)),
+                     jax.device_put(jnp.asarray(sem))))
     t0 = time.time()
     i = 0
     while i < args.steps:
@@ -103,10 +116,8 @@ def main():
             resumed = True
             print(f"[burnin] simulated failure: resumed from {ckpt} "
                   f"at step {i}", flush=True)
-        images, sem = synth_batch(rng, args.batch_size, hw,
-                                  args.num_classes)
-        state, metrics = step_fn(state, jnp.asarray(images),
-                                 jnp.asarray(sem))
+        images, sem = pool[i % len(pool)]
+        state, metrics = step_fn(state, images, sem)
         i += 1
         if i % args.log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
@@ -123,8 +134,11 @@ def main():
         if i % args.ckpt_every == 0:
             save_state(args.work_dir, state, i)
         if args.val_every and i % args.val_every == 0:
+            # small val batch: the whole-image inference executable and its
+            # workspace live next to the train step's — keep it lean
             vimg, vsem = synth_batch(np.random.default_rng(42),
-                                     args.batch_size, hw, args.num_classes)
+                                     min(args.batch_size, 2), hw,
+                                     args.num_classes)
             variables = {"params": state.params,
                          "batch_stats": state.batch_stats}
             logits = whole_logits(model, variables, jnp.asarray(vimg))
