@@ -13,7 +13,6 @@ Host-side numpy (eval-time, per image) like the reference — the heavy part
 """
 from __future__ import annotations
 
-from collections import defaultdict
 
 import numpy as np
 

@@ -25,7 +25,7 @@ Reference blocks reproduced here (file:line cite → class):
 """
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ from flax import linen as nn
 
 from ..ops.spike import qspike
 from .attention import SpikeMLP3
-from .layers import BatchNorm, Spike, fold_t
+from .layers import BatchNorm, Spike
 from .pixel_decoder import DCNPixelDecoder
 from .positional import sine_pe_for_shape, sine_positional_encoding
 from .transformer_decoder import DetrDecoderLayer
