@@ -66,6 +66,7 @@ class TrainConfig:
     loss_at: str = "pred"             # mask-loss resolution ('gt' = ref-exact)
     accum_steps: int = 1              # grad accumulation (global batch 48)
     layer_decay_rate: float = 0.0     # >0: backbone layer-wise lr decay
+    loss_decode: tuple = (("ce", 1.0),)  # fpn family: pixel-loss spec
     seed: int = 0
 
 

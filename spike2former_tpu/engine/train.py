@@ -28,7 +28,8 @@ class TrainState(NamedTuple):
 
 def init_state(model: Spike2Former, tx: optax.GradientTransformation,
                rng: jax.Array, sample_images: jax.Array) -> TrainState:
-    variables = model.init(rng, sample_images, True)
+    variables = model.init({"params": rng, "dropout": rng},
+                           sample_images, True)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     return TrainState(
@@ -98,6 +99,44 @@ def make_train_step(model: Spike2Former, tx: optax.GradientTransformation,
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {k: v for k, v in losses.items()}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(state.step + 1, new_params, new_stats,
+                          new_opt), metrics
+
+    return train_step
+
+
+def make_train_step_fpn(model, tx: optax.GradientTransformation,
+                        loss_decode=(("ce", 1.0),)):
+    """Train step for the FPN per-pixel family (SURVEY §2.9; reference
+    configs/FPN/*).  ``loss_decode`` mirrors the mmseg head's configurable
+    decode loss (single or list — decode_head.py:115-128): a sequence of
+    (name, weight[, kwargs]) over the pixel-loss zoo (losses/pixel.py:
+    ce / lovasz / tversky / ohem / hausdorff).
+    """
+    from ..losses.pixel import build_pixel_loss, pixel_accuracy
+
+    pixel_loss = build_pixel_loss(loss_decode)
+
+    def loss_fn(params, batch_stats, images, sem_seg, rng):
+        x = preprocess(images)
+        logits, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, True,
+            mutable=["batch_stats"], rngs={"dropout": rng})
+        total, metrics = pixel_loss(logits, sem_seg)
+        metrics["acc_seg"] = pixel_accuracy(logits, sem_seg)
+        return total, (metrics, updates["batch_stats"])
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_step(state: TrainState, images, sem_seg):
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+        (total, (metrics, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, images, sem_seg, rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["total"] = total
         metrics["grad_norm"] = optax.global_norm(grads)
         return TrainState(state.step + 1, new_params, new_stats,
                           new_opt), metrics

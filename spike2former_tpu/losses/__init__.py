@@ -5,6 +5,11 @@ from .matcher import (
 )
 from .criterion import (GroundTruth, semantic_to_instances, maskformer_loss,
                         classification_targets)
+from .pixel import (
+    pixel_cross_entropy, pixel_accuracy, lovasz_softmax_loss,
+    lovasz_hinge_loss, tversky_loss, boundary_loss, ohem_cross_entropy,
+    hausdorff_distance_loss, edt_sq, build_pixel_loss, PIXEL_LOSSES,
+)
 
 __all__ = [
     "weighted_cross_entropy", "sigmoid_focal_loss", "dice_loss",
@@ -12,4 +17,8 @@ __all__ = [
     "match_costs", "hungarian_host", "auction_match",
     "GroundTruth", "semantic_to_instances", "maskformer_loss",
     "classification_targets",
+    "pixel_cross_entropy", "pixel_accuracy", "lovasz_softmax_loss",
+    "lovasz_hinge_loss", "tversky_loss", "boundary_loss",
+    "ohem_cross_entropy", "hausdorff_distance_loss", "edt_sq",
+    "build_pixel_loss", "PIXEL_LOSSES",
 ]

@@ -168,6 +168,13 @@ class FPNSegmentor(nn.Module):
         feats = self.neck(feats, train)
         return self.head(feats, train)  # logits at stride 2
 
-    def predict_logits(self, images: jax.Array) -> jax.Array:
+    def predict_logits(self, images: jax.Array,
+                       valid_hw: jax.Array | None = None) -> jax.Array:
+        # valid_hw (bucket-padded eval) is accepted for interface parity
+        # with Spike2Former but needs no masking here: the network is pure
+        # local conv (no attention over padded keys), so padded regions
+        # only produce logits that postprocess_pred crops away — the same
+        # behavior as the reference FPN path under pad-to-divisor.
+        del valid_hw
         logits = self(images, train=False)
         return resize_bilinear(logits, images.shape[1:3])

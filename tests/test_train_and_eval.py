@@ -178,3 +178,40 @@ def test_slide_overlapping_windows():
                      num_classes=6)
     assert s.shape == (1, 48, 48, 6)
     assert np.isfinite(np.asarray(s)).all()
+
+
+def test_fpn_train_step_with_loss_decode_zoo():
+    """FPN family train step (engine/train.py:make_train_step_fpn) with a
+    composite loss_decode spec (ce + lovasz + ohem), the reference's
+    list-of-losses decode_head knob (decode_head.py:115-128)."""
+    from spike2former_tpu.engine.train import make_train_step_fpn
+    from spike2former_tpu.models.fpn import FPNSegmentor
+
+    model = FPNSegmentor(
+        num_classes=5, embed_dim=(16, 32, 48, 64), backbone_heads=8, T=2,
+        neck_channels=32, head_channels=16, neuron="multispike",
+        depths_stage3=1, depths_stage4=1)
+    imgs = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    tx = make_optimizer(
+        model.init({"params": rng, "dropout": rng}, imgs, True)["params"])
+    state = init_state(model, tx, rng, imgs)
+    step = make_train_step_fpn(
+        model, tx,
+        loss_decode=(("ce", 1.0), ("lovasz", 0.5),
+                     ("ohem", 0.4, {"thresh": 0.7, "min_kept": 64})))
+
+    nprng = np.random.default_rng(1)
+    images = jnp.asarray(nprng.integers(0, 255, (2, 32, 32, 3)),
+                         jnp.float32)
+    sem = np.asarray(nprng.integers(0, 5, (2, 32, 32)), np.int32)
+    sem[0, :4] = 255
+    state2, metrics = jax.jit(step)(state, images, jnp.asarray(sem))
+    assert int(state2.step) == 1
+    for key in ("total", "loss_ce", "loss_lovasz", "loss_ohem", "acc_seg"):
+        assert np.isfinite(float(metrics[key])), key
+    assert float(metrics["total"]) > 0
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params,
+        state2.params)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0

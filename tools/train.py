@@ -127,7 +127,8 @@ def main():
 
     sample = jnp.zeros((cfg.data.batch_size, *cfg.data.crop_size, 3),
                        jnp.float32)
-    params0 = model.init(jax.random.PRNGKey(cfg.train.seed), sample,
+    rng0 = jax.random.PRNGKey(cfg.train.seed)
+    params0 = model.init({"params": rng0, "dropout": rng0}, sample,
                          True)["params"]
     tx = make_optimizer(
         params0, base_lr=cfg.train.base_lr,
@@ -148,7 +149,13 @@ def main():
 
     mesh = make_mesh()
     state = replicate(mesh, state)
-    if panoptic:
+    if cfg.model.kind == "fpn":
+        from spike2former_tpu.engine.train import make_train_step_fpn
+
+        step_fn = jax.jit(make_train_step_fpn(
+            model, tx, loss_decode=cfg.train.loss_decode),
+            donate_argnums=0)
+    elif panoptic:
         from spike2former_tpu.engine import make_train_step_panoptic
 
         # donate the incoming TrainState: XLA reuses its param/opt
@@ -184,13 +191,13 @@ def main():
             m = {k: float(v) for k, v in metrics.items()}
             dt = (time.time() - t0) / args.log_interval
             t0 = time.time()
+            parts = " ".join(f"{k.removeprefix('loss_')} {v:.4f}"
+                             for k, v in sorted(m.items())
+                             if k.startswith(("loss_", "acc_")))
             print(f"iter {i+1}/{cfg.train.total_iters} "
-                  f"loss {m['total']:.4f} cls {m['loss_cls']:.4f} "
-                  f"mask {m['loss_mask']:.4f} dice {m['loss_dice']:.4f} "
-                  f"{dt:.3f}s/iter", flush=True)
-            slog.log(i + 1, total=m["total"], loss_cls=m["loss_cls"],
-                     loss_mask=m["loss_mask"], loss_dice=m["loss_dice"],
-                     grad_norm=m["grad_norm"], sec_per_iter=dt)
+                  f"loss {m['total']:.4f} {parts} {dt:.3f}s/iter",
+                  flush=True)
+            slog.log(i + 1, sec_per_iter=dt, **m)
         if (i + 1) % cfg.train.checkpoint_interval == 0:
             save_state(work_dir, state, i + 1)
         if (args.eval_images and cfg.train.val_interval and not panoptic
