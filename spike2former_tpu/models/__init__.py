@@ -5,10 +5,14 @@ from .segmentor import Spike2Former, preprocess, IMAGENET_MEAN, IMAGENET_STD
 from .fpn import FPNSegmentor, FPNNeck, FPNHead
 from .transformer_decoder import DetrDecoderLayer
 from .dcn import DCNv3
+from .attention import (SpikeMHA, LinearSpikeMHA, SpikeMultiheadAttention,
+                        MSDAFFN, SpikeMLP3)
 
 __all__ = [
     "SpikingMetaFormer", "MaskFormerHead", "semantic_inference",
     "DCNPixelDecoder", "FPNPixelDecoder",
     "Spike2Former", "preprocess", "IMAGENET_MEAN", "IMAGENET_STD",
     "FPNSegmentor", "FPNNeck", "FPNHead", "DetrDecoderLayer", "DCNv3",
+    "SpikeMHA", "LinearSpikeMHA", "SpikeMultiheadAttention", "MSDAFFN",
+    "SpikeMLP3",
 ]

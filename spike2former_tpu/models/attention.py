@@ -125,6 +125,9 @@ class LinearSpikeMHA(nn.Module):
                 yf = Spike(self.spike)(yf)
                 yf = RepConv(self.embed_dims, dtype=self.dtype, name=name)(
                     yf, train)
+                # k_spike/v_spike after the RepConv projection
+                # (transformer.py:410-417)
+                yf = Spike(self.spike)(yf)
                 tb, h, w, c = yf.shape
                 return unfold_t(yf.reshape(tb, h * w, c), t)
 
@@ -166,6 +169,39 @@ class LinearSpikeMHA(nn.Module):
                        dtype=self.dtype)(outf)
         outf = BatchNorm(use_running_average=not train)(outf)
         return unfold_t(outf, t)
+
+
+class SpikeMultiheadAttention(nn.Module):
+    """Dispatching wrapper (transformer.py:505-638): adds positional
+    embeddings to query/key (:626-629), then routes by ``attn_type`` —
+    'SA'/'CA' → full softmax-free attention (``SpikeMHA``), 'LinearSA' →
+    ``LinearSpikeMHA(mode='SA')``, 'LinearCA' → ``LinearSpikeMHA(mode='CA')``
+    (spatial key/value map, no key_pos)."""
+
+    embed_dims: int
+    num_heads: int = 8
+    attn_type: str = "SA"
+    spike: str = "qspike"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, key, value, query_pos=None, key_pos=None,
+                 attn_mask=None, train: bool = False):
+        if query_pos is not None:
+            query = query + query_pos
+        if key_pos is not None and self.attn_type != "LinearCA":
+            key = key + key_pos
+        if self.attn_type in ("SA", "CA"):
+            return SpikeMHA(self.embed_dims, self.num_heads, self.spike,
+                            self.dtype, name="attn")(
+                query, key, value, attn_mask=attn_mask, train=train)
+        if self.attn_type in ("LinearSA", "LinearCA"):
+            return LinearSpikeMHA(
+                self.embed_dims, self.num_heads,
+                mode=self.attn_type.removeprefix("Linear"),
+                spike=self.spike, dtype=self.dtype, name="attn")(
+                query, key, value, train=train)
+        raise ValueError(f"unknown attn_type {self.attn_type!r}")
 
 
 class MSDAFFN(nn.Module):

@@ -558,3 +558,130 @@ def test_spike_mha_parity():
            * torch.from_numpy(np.asarray(bp["scale"]))
            + torch.from_numpy(np.asarray(bp["bias"])))
     np.testing.assert_allclose(got[0], out.numpy(), atol=5e-5, rtol=1e-3)
+
+
+def _tok_proj(vars_, pfx, y):
+    """TokenConvBN golden: q8 -> 1x1 conv -> BN(eval), on torch [B, N, C]."""
+    p, s = vars_["params"], vars_["batch_stats"]
+    w = np.asarray(p[pfx]["Conv_0"]["kernel"])[0]
+    b = np.asarray(p[pfx]["Conv_0"]["bias"])
+    y = q8(y) @ torch.from_numpy(w) + torch.from_numpy(b)
+    bp = p[pfx]["BatchNorm_0"]["BatchNorm_0"]
+    bs = s[pfx]["BatchNorm_0"]["BatchNorm_0"]
+    return ((y - torch.from_numpy(np.asarray(bs["mean"])))
+            / torch.sqrt(torch.from_numpy(np.asarray(bs["var"])) + 1e-5)
+            * torch.from_numpy(np.asarray(bp["scale"]))
+            + torch.from_numpy(np.asarray(bp["bias"])))
+
+
+def _out_proj(vars_, y):
+    p, s = vars_["params"], vars_["batch_stats"]
+    w = np.asarray(p["Conv_0"]["kernel"])[0]
+    b = np.asarray(p["Conv_0"]["bias"])
+    y = q8(y) @ torch.from_numpy(w) + torch.from_numpy(b)
+    bp = p["BatchNorm_0"]["BatchNorm_0"]
+    bs = s["BatchNorm_0"]["BatchNorm_0"]
+    return ((y - torch.from_numpy(np.asarray(bs["mean"])))
+            / torch.sqrt(torch.from_numpy(np.asarray(bs["var"])) + 1e-5)
+            * torch.from_numpy(np.asarray(bp["scale"]))
+            + torch.from_numpy(np.asarray(bp["bias"])))
+
+
+def test_linear_sa_parity():
+    """MSMultiHeadAttentionBlock (LinearSA, transformer.py:442-502):
+    kernelized attention q @ (k^T v) * head_scale, conv1d+BN projections."""
+    from spike2former_tpu.models.attention import LinearSpikeMHA
+
+    dim, heads = 16, 4
+    mod = LinearSpikeMHA(dim, heads, mode="SA")
+    qx = RNG.normal(0, 2, (1, 2, 5, dim)).astype(np.float32)
+    kx = RNG.normal(0, 2, (1, 2, 7, dim)).astype(np.float32)
+    vars_ = randomize_variables(mod.init(jax.random.PRNGKey(0), qx, kx, kx))
+    got = np.asarray(mod.apply(vars_, jnp.asarray(qx), jnp.asarray(kx),
+                               jnp.asarray(kx)))
+
+    qt, kt = torch.from_numpy(qx[0]), torch.from_numpy(kx[0])
+    qq = q8(_tok_proj(vars_, "q", qt))
+    kk = q8(_tok_proj(vars_, "k", kt))
+    vv = q8(_tok_proj(vars_, "v", kt))
+
+    def to_heads(y, n):
+        return y.reshape(2, n, heads, dim // heads).permute(0, 2, 1, 3)
+
+    qh, kh, vh = to_heads(qq, 5), to_heads(kk, 7), to_heads(vv, 7)
+    kv = kh.transpose(-2, -1) @ vh                      # [b, h, ch, ch]
+    out = (qh @ kv) * ((dim // heads) ** -0.5)
+    out = out.permute(0, 2, 1, 3).reshape(2, 5, dim)
+    want = _out_proj(vars_, out).numpy()
+    np.testing.assert_allclose(got[0], want, atol=5e-5, rtol=1e-3)
+
+
+def test_linear_ca_parity():
+    """MultiHeadCrossAttentionBlock (LinearCA, transformer.py:364-438):
+    RepConv k/v over a spatial key map, (k^T v)/sqrt(C) kernel, channel-
+    attention shortcut (pooled conv of the spiked query) scaled by alpha."""
+    from spike2former_tpu.models.attention import LinearSpikeMHA
+
+    dim, heads, h, w = 16, 4, 3, 4
+    mod = LinearSpikeMHA(dim, heads, mode="CA")
+    qx = RNG.normal(0, 2, (1, 2, 5, dim)).astype(np.float32)
+    kx = RNG.normal(0, 2, (1, 2, h, w, dim)).astype(np.float32)
+    vars_ = randomize_variables(mod.init(jax.random.PRNGKey(0), qx, kx, kx))
+    got = np.asarray(mod.apply(vars_, jnp.asarray(qx), jnp.asarray(kx),
+                               jnp.asarray(kx)))
+
+    p, s = vars_["params"], vars_["batch_stats"]
+    qt = torch.from_numpy(qx[0])
+    qq = q8(_tok_proj(vars_, "q", qt))
+
+    def rep_golden(pfx, y_sp):
+        t = TorchRepConv(dim, dim).eval()
+        t.c1.weight.data = f2t_conv(p[pfx]["Conv_0"]["kernel"])
+        set_bn(t.bn_pad, s[pfx]["BNAndPad_0"], p[pfx]["BNAndPad_0"])
+        t.dw.weight.data = f2t_conv(p[pfx]["Conv_1"]["kernel"])
+        t.pw.weight.data = f2t_conv(p[pfx]["Conv_2"]["kernel"])
+        set_bn(t.bn, s[pfx]["BatchNorm_0"]["BatchNorm_0"],
+               p[pfx]["BatchNorm_0"]["BatchNorm_0"])
+        with torch.no_grad():
+            y = t(q8(y_sp).permute(0, 3, 1, 2))         # [b, C, h, w]
+        # k_spike after the projection, then flatten spatial (:410-417)
+        return q8(y).flatten(2).permute(0, 2, 1)        # [b, h*w, C]
+
+    kk = rep_golden("k_rep", torch.from_numpy(kx[0]))
+    vv = rep_golden("v_rep", torch.from_numpy(kx[0]))
+
+    def to_heads(y, n):
+        return y.reshape(2, n, heads, dim // heads).permute(0, 2, 1, 3)
+
+    qh, kh, vh = to_heads(qq, 5), to_heads(kk, h * w), to_heads(vv, h * w)
+    kv = (kh.transpose(-2, -1) @ vh) / (dim ** 0.5)
+    out = qh @ kv
+    out = out.permute(0, 2, 1, 3).reshape(2, 5, dim)
+
+    # channel-attention shortcut (:393-395,432-434)
+    wc = torch.from_numpy(np.asarray(p["channel_conv"]["kernel"])[0])
+    tgt = (q8(qt) @ wc).mean(dim=1, keepdim=True)       # [b, 1, C]
+    alpha = torch.from_numpy(np.asarray(p["alpha"]))
+    out = out * alpha + tgt
+
+    want = _out_proj(vars_, out).numpy()
+    np.testing.assert_allclose(got[0], want, atol=5e-5, rtol=1e-3)
+
+
+def test_spike_multihead_attention_dispatch():
+    """MultiheadAttention wrapper (transformer.py:505-638): pos added to
+    query/key, block chosen by attn_type."""
+    from spike2former_tpu.models.attention import SpikeMultiheadAttention
+
+    dim = 16
+    q = jnp.asarray(RNG.normal(0, 1, (1, 2, 5, dim)), jnp.float32)
+    k_tok = jnp.asarray(RNG.normal(0, 1, (1, 2, 7, dim)), jnp.float32)
+    k_sp = jnp.asarray(RNG.normal(0, 1, (1, 2, 3, 4, dim)), jnp.float32)
+    pos = jnp.asarray(RNG.normal(0, 1, (2, 5, dim)), jnp.float32)
+    for attn_type, key in (("SA", k_tok), ("CA", k_tok),
+                           ("LinearSA", k_tok), ("LinearCA", k_sp)):
+        mod = SpikeMultiheadAttention(dim, 4, attn_type=attn_type)
+        vars_ = mod.init(jax.random.PRNGKey(0), q, key, key, pos)
+        out = mod.apply(vars_, q, key, key, pos)
+        assert out.shape == (1, 2, 5, dim), attn_type
+        assert np.isfinite(np.asarray(out)).all(), attn_type
