@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 @dataclass
 class ModelConfig:
-    kind: str = "maskformer"          # 'maskformer' | 'fpn'
+    kind: str = "maskformer"          # 'maskformer' | 'fpn' | 'cascade'
+    num_stages: int = 2               # cascade only
     variant: str = "sdtv2"            # backbone: 'sdtv2' | 'sdtv3'
     num_classes: int = 150
     num_things: int = 0               # panoptic: thing classes (rest stuff)
@@ -93,6 +94,16 @@ def build_model(cfg: ModelConfig):
     from ..models.segmentor import Spike2Former
 
     dtype = getattr(jnp, cfg.dtype)
+    if cfg.kind == "cascade":
+        from ..models.cascade import CascadeSegmentor
+
+        return CascadeSegmentor(
+            num_classes=cfg.num_classes, num_stages=cfg.num_stages,
+            embed_dim=tuple(cfg.embed_dim),
+            backbone_heads=cfg.backbone_heads, T=cfg.T, variant=cfg.variant,
+            neck_channels=cfg.neck_channels, head_channels=cfg.head_channels,
+            neuron=cfg.neuron, depths_stage3=cfg.depths_stage3,
+            depths_stage4=cfg.depths_stage4, dtype=dtype)
     if cfg.kind == "fpn":
         return FPNSegmentor(
             num_classes=cfg.num_classes, embed_dim=tuple(cfg.embed_dim),
@@ -242,7 +253,21 @@ def _coco_panoptic_spike2former() -> Config:
     )
 
 
+def _cascade_fpn_sdtv2() -> Config:
+    """CascadeEncoderDecoder (cascade_encoder_decoder.py) over the FPN
+    family: stage-0 FPNHead + refinement stages.  The reference registers
+    the segmentor without shipping a config; this preset makes the cascade
+    path runnable end to end."""
+    return Config(
+        name="cascade_fpn_sdtv2_512x512_ade20k",
+        model=ModelConfig(kind="cascade", num_stages=2, T=4,
+                          num_classes=150, neuron="lif"),
+        data=DataConfig(dataset="ade20k"),
+    )
+
+
 PRESETS: dict[str, Any] = {
+    "cascade_fpn_sdtv2_512x512_ade20k": _cascade_fpn_sdtv2,
     "SDTv2_maskformer_DCNpixelDecoder_ade20k": _ade_spike2former_sdtv2,
     "SDTv2_maskformer_DCNPixelDecoder_CityScapes":
         _cityscapes_spike2former_sdtv2,

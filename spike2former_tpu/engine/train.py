@@ -123,8 +123,21 @@ def make_train_step_fpn(model, tx: optax.GradientTransformation,
         logits, updates = model.apply(
             {"params": params, "batch_stats": batch_stats}, x, True,
             mutable=["batch_stats"], rngs={"dropout": rng})
-        total, metrics = pixel_loss(logits, sem_seg)
-        metrics["acc_seg"] = pixel_accuracy(logits, sem_seg)
+        if isinstance(logits, (list, tuple)):
+            # cascade: every stage gets its own decode loss, summed under a
+            # decode_<i> prefix (cascade_encoder_decoder.py:90-116)
+            total = jnp.float32(0.0)
+            metrics = {}
+            for i, stage_logits in enumerate(logits):
+                stage_total, stage_metrics = pixel_loss(stage_logits,
+                                                        sem_seg)
+                total = total + stage_total
+                metrics.update({f"decode_{i}.{k}": v
+                                for k, v in stage_metrics.items()})
+            metrics["acc_seg"] = pixel_accuracy(logits[-1], sem_seg)
+        else:
+            total, metrics = pixel_loss(logits, sem_seg)
+            metrics["acc_seg"] = pixel_accuracy(logits, sem_seg)
         return total, (metrics, updates["batch_stats"])
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

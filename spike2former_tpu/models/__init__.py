@@ -7,6 +7,7 @@ from .transformer_decoder import DetrDecoderLayer
 from .dcn import DCNv3
 from .attention import (SpikeMHA, LinearSpikeMHA, SpikeMultiheadAttention,
                         MSDAFFN, SpikeMLP3)
+from .cascade import CascadeSegmentor, CascadeRefineHead
 
 __all__ = [
     "SpikingMetaFormer", "MaskFormerHead", "semantic_inference",
@@ -14,5 +15,5 @@ __all__ = [
     "Spike2Former", "preprocess", "IMAGENET_MEAN", "IMAGENET_STD",
     "FPNSegmentor", "FPNNeck", "FPNHead", "DetrDecoderLayer", "DCNv3",
     "SpikeMHA", "LinearSpikeMHA", "SpikeMultiheadAttention", "MSDAFFN",
-    "SpikeMLP3",
+    "SpikeMLP3", "CascadeSegmentor", "CascadeRefineHead",
 ]

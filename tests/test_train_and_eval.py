@@ -215,3 +215,45 @@ def test_fpn_train_step_with_loss_decode_zoo():
         lambda a, b: float(jnp.abs(a - b).max()), state.params,
         state2.params)
     assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+def test_cascade_segmentor_train_and_predict():
+    """CascadeEncoderDecoder contract (cascade_encoder_decoder.py): stage 0
+    sees features only, later stages refine (feats, prev_logits); training
+    sums per-stage decode losses; predict uses the LAST stage."""
+    from spike2former_tpu.engine.train import make_train_step_fpn
+    from spike2former_tpu.models.cascade import CascadeSegmentor
+
+    model = CascadeSegmentor(
+        num_classes=5, num_stages=3, embed_dim=(16, 32, 48, 64),
+        backbone_heads=8, T=2, neck_channels=32, head_channels=16,
+        neuron="multispike", depths_stage3=1, depths_stage4=1)
+    imgs = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    tx = make_optimizer(
+        model.init({"params": rng, "dropout": rng}, imgs, True)["params"])
+    state = init_state(model, tx, rng, imgs)
+    step = make_train_step_fpn(model, tx, loss_decode=(("ce", 1.0),))
+
+    nprng = np.random.default_rng(2)
+    images = jnp.asarray(nprng.integers(0, 255, (2, 32, 32, 3)),
+                         jnp.float32)
+    sem = jnp.asarray(nprng.integers(0, 5, (2, 32, 32)), jnp.int32)
+    state2, metrics = jax.jit(step)(state, images, sem)
+    for i in range(3):
+        assert np.isfinite(float(metrics[f"decode_{i}.loss_ce"])), i
+    assert np.isfinite(float(metrics["total"]))
+
+    # predict path: last stage, resized to input
+    variables = {"params": state2.params,
+                 "batch_stats": state2.batch_stats}
+    logits = model.apply(variables, images,
+                         method=CascadeSegmentor.predict_logits)
+    assert logits.shape == (2, 32, 32, 5)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    # stage outputs differ (refinement actually does something) and the
+    # residual form keeps stage i close to stage i-1 at init
+    outs = model.apply(variables, images)
+    assert len(outs) == 3
+    assert not np.array_equal(np.asarray(outs[0]), np.asarray(outs[1]))

@@ -149,7 +149,7 @@ def main():
 
     mesh = make_mesh()
     state = replicate(mesh, state)
-    if cfg.model.kind == "fpn":
+    if cfg.model.kind in ("fpn", "cascade"):
         from spike2former_tpu.engine.train import make_train_step_fpn
 
         step_fn = jax.jit(make_train_step_fpn(
