@@ -253,6 +253,19 @@ def _coco_panoptic_spike2former() -> Config:
     )
 
 
+def _fpn_msresnet(depth: str) -> Config:
+    """MS-ResNet spiking backbone (mmseg/models/backbones/MSResnet.py,
+    present upstream but unexported) under the FPN family — strides
+    4/8/16/32, width = embed_dim[0]."""
+    return Config(
+        name=f"fpn_msresnet{depth}_512x512_ade20k",
+        model=ModelConfig(kind="fpn", variant=f"msresnet{depth}", T=1,
+                          num_classes=150, embed_dim=(64, 128, 256, 512),
+                          neuron="lif"),
+        data=DataConfig(dataset="ade20k"),
+    )
+
+
 def _cascade_fpn_sdtv2() -> Config:
     """CascadeEncoderDecoder (cascade_encoder_decoder.py) over the FPN
     family: stage-0 FPNHead + refinement stages.  The reference registers
@@ -268,6 +281,9 @@ def _cascade_fpn_sdtv2() -> Config:
 
 PRESETS: dict[str, Any] = {
     "cascade_fpn_sdtv2_512x512_ade20k": _cascade_fpn_sdtv2,
+    "fpn_msresnet18_512x512_ade20k": lambda: _fpn_msresnet("18"),
+    "fpn_msresnet34_512x512_ade20k": lambda: _fpn_msresnet("34"),
+    "fpn_msresnet104_512x512_ade20k": lambda: _fpn_msresnet("104"),
     "SDTv2_maskformer_DCNpixelDecoder_ade20k": _ade_spike2former_sdtv2,
     "SDTv2_maskformer_DCNPixelDecoder_CityScapes":
         _cityscapes_spike2former_sdtv2,

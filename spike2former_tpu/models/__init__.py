@@ -8,6 +8,7 @@ from .dcn import DCNv3
 from .attention import (SpikeMHA, LinearSpikeMHA, SpikeMultiheadAttention,
                         MSDAFFN, SpikeMLP3)
 from .cascade import CascadeSegmentor, CascadeRefineHead
+from .msresnet import MSResNet, SnnBasicBlock
 
 __all__ = [
     "SpikingMetaFormer", "MaskFormerHead", "semantic_inference",
@@ -16,4 +17,5 @@ __all__ = [
     "FPNSegmentor", "FPNNeck", "FPNHead", "DetrDecoderLayer", "DCNv3",
     "SpikeMHA", "LinearSpikeMHA", "SpikeMultiheadAttention", "MSDAFFN",
     "SpikeMLP3", "CascadeSegmentor", "CascadeRefineHead",
+    "MSResNet", "SnnBasicBlock",
 ]

@@ -150,17 +150,30 @@ class FPNSegmentor(nn.Module):
 
     def setup(self):
         e = self.embed_dim
-        self.backbone = SpikingMetaFormer(
-            embed_dim=e, num_heads=self.backbone_heads, T=self.T,
-            variant=self.variant, depths_stage3=self.depths_stage3,
-            depths_stage4=self.depths_stage4, dtype=self.dtype)
+        if self.variant.startswith("msresnet"):
+            # spiking ResNet pyramid (models/msresnet.py): strides
+            # 4/8/16/32, channels width*(1,2,4,8); width = embed_dim[0]
+            from .msresnet import MSResNet
+
+            self.backbone = MSResNet(
+                variant=self.variant, width=e[0], T=self.T,
+                dtype=self.dtype)
+            in_channels = tuple(e[0] * (2 ** i) for i in range(4))
+            strides = (4, 8, 16, 32)
+        else:
+            self.backbone = SpikingMetaFormer(
+                embed_dim=e, num_heads=self.backbone_heads, T=self.T,
+                variant=self.variant, depths_stage3=self.depths_stage3,
+                depths_stage4=self.depths_stage4, dtype=self.dtype)
+            in_channels = (e[0] // 2, e[0], e[1], e[3])
+            strides = (2, 4, 8, 16)
         self.neck = FPNNeck(
-            in_channels=(e[0] // 2, e[0], e[1], e[3]),
+            in_channels=in_channels,
             out_channels=self.neck_channels, neuron=self.neuron,
             dtype=self.dtype)
         self.head = FPNHead(
             num_classes=self.num_classes, channels=self.head_channels,
-            feature_strides=(2, 4, 8, 16), neuron=self.neuron,
+            feature_strides=strides, neuron=self.neuron,
             dtype=self.dtype)
 
     def __call__(self, images: jax.Array, train: bool = False):

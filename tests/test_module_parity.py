@@ -685,3 +685,75 @@ def test_spike_multihead_attention_dispatch():
         out = mod.apply(vars_, q, key, key, pos)
         assert out.shape == (1, 2, 5, dim), attn_type
         assert np.isfinite(np.asarray(out)).all(), attn_type
+
+
+class TorchSnnBasicBlock(nn.Module):
+    """BasicBlock_104/18 (MSResnet.py:144-181,:240-280): spike->3x3(s)->BN
+    ->spike->3x3->BN(0-init) + (avg-pooled or strided) conv shortcut."""
+
+    def __init__(self, cin, cout, stride, avgpool):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(cout)
+        self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(cout)
+        self.avgpool = avgpool
+        self.stride = stride
+        self.need_sc = stride != 1 or cin != cout
+        if self.need_sc:
+            sc_stride = 1 if (avgpool and stride != 1) else stride
+            self.sc_conv = nn.Conv2d(cin, cout, 1, sc_stride, bias=False)
+            self.sc_bn = nn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        y = self.bn1(self.conv1(q8(x)))
+        y = self.bn2(self.conv2(q8(y)))
+        sc = x
+        if self.need_sc:
+            if self.avgpool and self.stride != 1:
+                sc = F.avg_pool2d(sc, self.stride, self.stride)
+            sc = self.sc_bn(self.sc_conv(sc))
+        return y + sc
+
+
+@pytest.mark.parametrize("avgpool", [True, False])
+def test_msresnet_basic_block_parity(avgpool):
+    from spike2former_tpu.models.msresnet import SnnBasicBlock
+
+    cin, cout, stride = 8, 12, 2
+    mod = SnnBasicBlock(cout, stride=stride, avgpool_shortcut=avgpool)
+    x = RNG.normal(0, 2, (2, 8, 8, cin)).astype(np.float32)
+    vars_ = randomize_variables(mod.init(jax.random.PRNGKey(0), x))
+    got = np.asarray(mod.apply(vars_, jnp.asarray(x)))
+
+    p, s = vars_["params"], vars_["batch_stats"]
+    t = TorchSnnBasicBlock(cin, cout, stride, avgpool).eval()
+    t.conv1.weight.data = f2t_conv(p["conv_bn_1"]["Conv_0"]["kernel"])
+    set_bn(t.bn1, s["conv_bn_1"]["BatchNorm_0"],
+           p["conv_bn_1"]["BatchNorm_0"])
+    t.conv2.weight.data = f2t_conv(p["conv_bn_2"]["Conv_0"]["kernel"])
+    set_bn(t.bn2, s["conv_bn_2"]["BatchNorm_0"],
+           p["conv_bn_2"]["BatchNorm_0"])
+    t.sc_conv.weight.data = f2t_conv(p["shortcut"]["Conv_0"]["kernel"])
+    set_bn(t.sc_bn, s["shortcut"]["BatchNorm_0"],
+           p["shortcut"]["BatchNorm_0"])
+    with torch.no_grad():
+        want = t(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_msresnet_pyramid_and_classifier():
+    from spike2former_tpu.models.msresnet import MSResNet
+
+    for variant in ("msresnet18", "msresnet104"):
+        mod = MSResNet(variant=variant, width=8, T=2, num_classes=7)
+        x = jnp.asarray(RNG.normal(100, 50, (1, 64, 64, 3)), jnp.float32)
+        vars_ = mod.init(jax.random.PRNGKey(0), x, False, True)
+        feats = mod.apply(vars_, x)
+        assert [f.shape for f in feats] == [
+            (2, 1, 16, 16, 8), (2, 1, 8, 8, 16),
+            (2, 1, 4, 4, 32), (2, 1, 2, 2, 64)], variant
+        logits = mod.apply(vars_, x, False, True)
+        assert logits.shape == (1, 7)
+        assert np.isfinite(np.asarray(logits)).all()
