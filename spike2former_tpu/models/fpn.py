@@ -25,8 +25,9 @@ from .sdtv2 import SpikingMetaFormer
 
 
 class Neuron(nn.Module):
-    """Temporal neuron over [T, B, ...]: multi-step LIF (binary spikes) or
-    the stateless multispike quantizer."""
+    """Temporal neuron over [T, B, ...]: multi-step LIF/IF/EIF (binary
+    spikes), parametric LIF (learned tau), or the stateless multispike
+    quantizer."""
 
     kind: str = "lif"
 
@@ -34,6 +35,19 @@ class Neuron(nn.Module):
     def __call__(self, x):
         if self.kind == "lif":
             return multistep_lif(x, tau=2.0, detach_reset=True).spikes
+        if self.kind == "if":
+            from ..ops.neuron import multistep_if
+
+            return multistep_if(x, detach_reset=True).spikes
+        if self.kind == "eif":
+            from ..ops.neuron import multistep_eif
+
+            return multistep_eif(x, tau=2.0, detach_reset=True).spikes
+        if self.kind == "plif":
+            from ..ops.neuron import multistep_plif
+
+            w = self.param("w", nn.initializers.constant(0.0), ())
+            return multistep_plif(x, w, detach_reset=True).spikes
         return Spike("multispike_norm")(x)
 
 

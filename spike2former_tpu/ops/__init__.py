@@ -10,6 +10,7 @@ from .neuron import (
     multistep_lif,
     multistep_plif,
     multistep_qif,
+    multistep_eif,
     sigmoid_surrogate,
     atan_surrogate,
 )
@@ -25,6 +26,7 @@ from .resize import (
 __all__ = [
     "quant_ste", "qspike", "multispike_norm", "multispike4", "spike_rate",
     "multistep_if", "multistep_lif", "multistep_plif", "multistep_qif",
+    "multistep_eif",
     "sigmoid_surrogate", "atan_surrogate",
     "dcnv3_core", "ms_deform_attn",
     "resize_bilinear", "resize_bilinear_align_corners",

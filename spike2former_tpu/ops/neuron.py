@@ -67,9 +67,68 @@ def _atan_bwd(alpha, v, g):
 atan_surrogate.defvjp(_atan_fwd, _atan_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def erf_surrogate(v: jax.Array, alpha: float = 2.0) -> jax.Array:
+    """Heaviside forward; Gaussian backward (surrogate.py erf:1087-1103:
+    g · exp(-(αv)²) · α/√π)."""
+    return _heaviside(v)
+
+
+def _erf_fwd(v, alpha):
+    return _heaviside(v), v
+
+
+def _erf_bwd(alpha, v, g):
+    return (g * jnp.exp(-(alpha * v) ** 2) * (alpha / jnp.sqrt(jnp.pi)),)
+
+
+erf_surrogate.defvjp(_erf_fwd, _erf_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def soft_sign_surrogate(v: jax.Array, alpha: float = 2.0) -> jax.Array:
+    """Heaviside forward; soft-sign backward (surrogate.py soft_sign:
+    750-763: g / (2α(1/α + |v|)²))."""
+    return _heaviside(v)
+
+
+def _ss_fwd(v, alpha):
+    return _heaviside(v), v
+
+
+def _ss_bwd(alpha, v, g):
+    return (g / (2.0 * alpha * (1.0 / alpha + jnp.abs(v)) ** 2),)
+
+
+soft_sign_surrogate.defvjp(_ss_fwd, _ss_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def piecewise_quadratic_surrogate(v: jax.Array,
+                                  alpha: float = 1.0) -> jax.Array:
+    """Heaviside forward; triangular backward (surrogate.py
+    piecewise_quadratic:166-181: g·(α - α²|v|), zero for |v| > 1/α)."""
+    return _heaviside(v)
+
+
+def _pq_fwd(v, alpha):
+    return _heaviside(v), v
+
+
+def _pq_bwd(alpha, v, g):
+    grad = g * (alpha - alpha * alpha * jnp.abs(v))
+    return (jnp.where(jnp.abs(v) > 1.0 / alpha, 0.0, grad),)
+
+
+piecewise_quadratic_surrogate.defvjp(_pq_fwd, _pq_bwd)
+
+
 SURROGATES: dict[str, Callable] = {
     "sigmoid": sigmoid_surrogate,
     "atan": atan_surrogate,
+    "erf": erf_surrogate,
+    "soft_sign": soft_sign_surrogate,
+    "piecewise_quadratic": piecewise_quadratic_surrogate,
 }
 
 
@@ -176,6 +235,46 @@ def multistep_plif(
     step = functools.partial(
         _step,
         decay_fn=lambda v, x: v + (x - (v - v_rest)) * inv_tau,
+        surrogate=sg,
+        v_threshold=v_threshold,
+        v_reset=v_reset,
+        detach_reset=detach_reset,
+    )
+    v, spikes = jax.lax.scan(step, v0, x_seq)
+    return NeuronOutput(spikes, v)
+
+
+def multistep_eif(
+    x_seq: jax.Array,
+    tau: float = 2.0,
+    delta_t: float = 1.0,
+    theta_rh: float = 0.8,
+    v_threshold: float = 1.0,
+    v_reset: float | None = 0.0,
+    surrogate: str | Callable = "sigmoid",
+    detach_reset: bool = False,
+    v_init: jax.Array | None = None,
+) -> NeuronOutput:
+    """Exponential integrate-and-fire neuron.
+
+    Charge (neuron.py EIFNode:1422-1520):
+    ``V[t] = V[t-1] + (X[t] + v_rest - V[t-1]
+             + Δ_T · exp((V[t-1] - θ_rh)/Δ_T)) / τ``
+    — the exponential term models the soft spike-initiation upstroke.
+    Equivalent to SpikingJelly ``MultiStepEIFNode`` (:1523+) as a scan.
+    """
+    sg = SURROGATES[surrogate] if isinstance(surrogate, str) else surrogate
+    v_rest = 0.0 if v_reset is None else v_reset
+    inv_tau = 1.0 / tau
+
+    def charge(v, x):
+        return v + (x + v_rest - v
+                    + delta_t * jnp.exp((v - theta_rh) / delta_t)) * inv_tau
+
+    v0 = jnp.zeros(x_seq.shape[1:], x_seq.dtype) if v_init is None else v_init
+    step = functools.partial(
+        _step,
+        decay_fn=charge,
         surrogate=sg,
         v_threshold=v_threshold,
         v_reset=v_reset,

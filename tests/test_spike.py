@@ -93,3 +93,55 @@ def test_quant_grad_under_jit_and_vmap():
     x = jnp.asarray([[0.3, -1.0], [7.7, 9.0]])
     g = np.asarray(f(x))
     np.testing.assert_allclose(g, [[0.125, 0.0], [0.125, 0.0]])
+
+
+def test_eif_neuron_matches_reference_charge():
+    """EIF charge equation (neuron.py EIFNode:1422): V += (X + v_rest - V
+    + dT*exp((V - theta_rh)/dT)) / tau, then fire/soft-or-hard reset."""
+    import numpy as np
+
+    from spike2former_tpu.ops.neuron import multistep_eif
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(0.6, 0.5, (5, 3, 4)).astype(np.float32)
+    tau, dT, th_rh, vth = 2.0, 1.0, 0.8, 1.0
+    out = multistep_eif(jnp.asarray(x), tau=tau, delta_t=dT,
+                        theta_rh=th_rh, v_threshold=vth, v_reset=0.0)
+
+    v = np.zeros((3, 4), np.float32)
+    spikes = []
+    for t in range(5):
+        v = v + (x[t] + 0.0 - v + dT * np.exp((v - th_rh) / dT)) / tau
+        s = (v - vth >= 0).astype(np.float32)
+        v = (1.0 - s) * v + s * 0.0
+        spikes.append(s)
+    np.testing.assert_allclose(np.asarray(out.spikes), np.stack(spikes),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.v), v, atol=1e-5)
+
+
+def test_surrogate_zoo_gradients():
+    """erf / soft_sign / piecewise_quadratic surrogate backward formulas
+    (surrogate.py:166-181, 750-763, 1087-1103)."""
+    import numpy as np
+
+    from spike2former_tpu.ops.neuron import (
+        erf_surrogate, piecewise_quadratic_surrogate, soft_sign_surrogate)
+
+    v = jnp.asarray(np.linspace(-2, 2, 9), jnp.float32)
+    a = 1.5
+    g_erf = jax.vmap(jax.grad(lambda u: erf_surrogate(u, a)))(v)
+    np.testing.assert_allclose(
+        np.asarray(g_erf),
+        np.exp(-(a * np.asarray(v)) ** 2) * a / np.sqrt(np.pi), rtol=1e-5)
+
+    g_ss = jax.vmap(jax.grad(lambda u: soft_sign_surrogate(u, a)))(v)
+    np.testing.assert_allclose(
+        np.asarray(g_ss),
+        1.0 / (2 * a * (1 / a + np.abs(np.asarray(v))) ** 2), rtol=1e-5)
+
+    g_pq = jax.vmap(jax.grad(
+        lambda u: piecewise_quadratic_surrogate(u, a)))(v)
+    expect = a - a * a * np.abs(np.asarray(v))
+    expect[np.abs(np.asarray(v)) > 1 / a] = 0.0
+    np.testing.assert_allclose(np.asarray(g_pq), expect, rtol=1e-5)
