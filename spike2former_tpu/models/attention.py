@@ -171,6 +171,97 @@ class LinearSpikeMHA(nn.Module):
         return unfold_t(outf, t)
 
 
+class LocalRepresentation(nn.Module):
+    """BN → depthwise 3x3 → linear over tokens (transformer.py:63-100).
+    Input [B, H, W, C] → [B, H*W, C]."""
+
+    d_model: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = BatchNorm(use_running_average=not train, name="bn")(x)
+        x = nn.Conv(self.d_model, (3, 3), padding=[(1, 1)] * 2,
+                    feature_group_count=self.d_model, use_bias=True,
+                    dtype=self.dtype, name="dw")(x)
+        b, h, w, c = x.shape
+        return nn.Dense(self.d_model, dtype=self.dtype, name="out")(
+            x.reshape(b, h * w, c))
+
+
+class PEMCrossAttention(nn.Module):
+    """Prototype-based masked cross-attention (PEM_CA, transformer.py:
+    102-192): queries attend by copying their single MOST SIMILAR feature
+    token per head (argmax over cosine similarity, with masked-out tokens
+    excluded unless a (batch, head) slice is entirely masked), then a
+    scaled, query-axis-normalized refinement.
+
+    Layout difference from the reference: batch-first [B, Q, C] queries
+    (the ref uses [Q, B, C]); the math is identical.
+    """
+
+    embed_dims: int = 256
+    num_heads: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, memory, memory_mask=None, pos=None,
+                 query_pos=None, train: bool = False):
+        """tgt [B, Q, C]; memory [B, H, W, C]; memory_mask [B, Q, H, W]
+        (mask value < 0 excludes a token, the ref's sigmoid-logit
+        convention); pos [B, H, W, C]; query_pos [B, Q, C]."""
+        if pos is not None:
+            memory = memory + pos
+        if query_pos is not None:
+            tgt = tgt + query_pos
+
+        mem = LocalRepresentation(self.embed_dims, self.dtype,
+                                  name="feature_proj")(memory, train)
+        q = nn.LayerNorm(dtype=self.dtype, name="query_norm")(tgt)
+        q = nn.Dense(self.embed_dims, dtype=self.dtype, name="query_proj")(q)
+
+        def l2(y, axis):
+            return y / jnp.maximum(
+                jnp.linalg.norm(y, axis=axis, keepdims=True), 1e-12)
+
+        mem = l2(mem, -1)
+        q = l2(q, -1)
+
+        b, n, c = mem.shape
+        nq = q.shape[1]
+        hd = c // self.num_heads
+        mh = mem.reshape(b, n, self.num_heads, hd).transpose(0, 2, 1, 3)
+        qh = q.reshape(b, nq, self.num_heads, hd).transpose(0, 2, 1, 3)
+        sim = jnp.einsum("bhnc,bhqc->bhnq", mh, qh)      # [B, h, N, Q]
+
+        if memory_mask is not None:
+            excl = (jax.lax.stop_gradient(memory_mask)
+                    .reshape(b, nq, n).transpose(0, 2, 1) < 0.0)
+            excl = jnp.broadcast_to(excl[:, None],
+                                    (b, self.num_heads, n, nq))
+            # a (batch, head) slice whose EVERY query is fully masked is
+            # unmasked wholesale (transformer.py:161-163)
+            fully = jnp.sum(excl, axis=2) == n           # [B, h, Q]
+            wipe = jnp.all(fully, axis=2)                # [B, h]
+            excl = jnp.where(wipe[:, :, None, None], False, excl)
+            sim = jnp.where(excl, -jnp.inf, sim)
+
+        idx = jnp.argmax(sim, axis=2)                    # [B, h, Q]
+        picked = jnp.take_along_axis(
+            mh, idx[..., None], axis=2)                  # [B, h, Q, hd]
+        picked = picked.transpose(0, 2, 1, 3).reshape(b, nq, c)
+
+        alpha = self.param("alpha", nn.initializers.ones,
+                           (1, 1, self.embed_dims))
+        mixed = nn.Dense(self.embed_dims, dtype=self.dtype,
+                         name="proj")(picked * q)
+        # the reference normalizes over the QUERY axis here (dim=1 of
+        # [B, Q, C]) — faithful, if unusual
+        out = l2(mixed, 1) * alpha + picked
+        return nn.Dense(self.embed_dims, dtype=self.dtype,
+                        name="final")(out)
+
+
 class SpikeMultiheadAttention(nn.Module):
     """Dispatching wrapper (transformer.py:505-638): adds positional
     embeddings to query/key (:626-629), then routes by ``attn_type`` —

@@ -757,3 +757,87 @@ def test_msresnet_pyramid_and_classifier():
         logits = mod.apply(vars_, x, False, True)
         assert logits.shape == (1, 7)
         assert np.isfinite(np.asarray(logits)).all()
+
+
+class TorchPEMCA(nn.Module):
+    """PEM_CA golden (transformer.py:102-192), batch-first."""
+
+    def __init__(self, d, heads):
+        super().__init__()
+        self.h, self.d = heads, d
+        self.lr_bn = nn.BatchNorm2d(d)
+        self.lr_dw = nn.Conv2d(d, d, 3, padding=1, groups=d)
+        self.lr_out = nn.Linear(d, d)
+        self.q_ln = nn.LayerNorm(d)
+        self.q_lin = nn.Linear(d, d)
+        self.proj = nn.Linear(d, d)
+        self.final = nn.Linear(d, d)
+        self.alpha = nn.Parameter(torch.ones(1, 1, d))
+
+    def forward(self, tgt, memory, mask=None):
+        b, hh, ww, c = memory.shape
+        m = self.lr_dw(self.lr_bn(memory.permute(0, 3, 1, 2)))
+        m = self.lr_out(m.flatten(2).permute(0, 2, 1))      # [B, N, C]
+        q = self.q_lin(self.q_ln(tgt))                      # [B, Q, C]
+        m = F.normalize(m, dim=-1)
+        q = F.normalize(q, dim=-1)
+
+        n, nq, hd = m.shape[1], q.shape[1], c // self.h
+        mh = m.view(b, n, self.h, hd).permute(0, 2, 1, 3)
+        qh = q.view(b, nq, self.h, hd).permute(0, 2, 1, 3)
+        sim = torch.einsum("bhnc,bhqc->bhnq", mh, qh)
+        if mask is not None:
+            mk = (mask.flatten(2).permute(0, 2, 1).detach() < 0.0).bool()
+            mk = mk.unsqueeze(1).expand(-1, self.h, -1, -1).clone()
+            mk[torch.all(mk.sum(2) == mk.shape[2], dim=2)] = False
+            sim = sim.masked_fill(mk, float("-inf"))
+        idx = torch.argmax(sim, dim=2)
+        picked = torch.gather(
+            mh, 2, idx.unsqueeze(-1).expand(-1, -1, -1, hd))
+        picked = picked.permute(0, 2, 1, 3).reshape(b, nq, c)
+        out = (F.normalize(self.proj(picked * q), dim=1) * self.alpha
+               + picked)
+        return self.final(out)
+
+
+def test_pem_ca_parity():
+    from spike2former_tpu.models.attention import PEMCrossAttention
+
+    d, heads, hh, ww, nq = 16, 4, 4, 5, 6
+    mod = PEMCrossAttention(d, heads)
+    tgt = RNG.normal(0, 1, (2, nq, d)).astype(np.float32)
+    mem = RNG.normal(0, 1, (2, hh, ww, d)).astype(np.float32)
+    mask = RNG.normal(0, 1, (2, nq, hh, ww)).astype(np.float32)
+    mask[0, 0] = -1.0  # one query fully masked (stays masked: other
+    # queries in its (b, h) slice are not, so no wipe)
+    vars_ = randomize_variables(
+        mod.init(jax.random.PRNGKey(0), tgt, mem, mask))
+    got = np.asarray(mod.apply(vars_, jnp.asarray(tgt), jnp.asarray(mem),
+                               jnp.asarray(mask)))
+
+    p, s = vars_["params"], vars_["batch_stats"]
+    t = TorchPEMCA(d, heads).eval()
+    fp = p["feature_proj"]
+    set_bn(t.lr_bn, s["feature_proj"]["bn"]["BatchNorm_0"],
+           fp["bn"]["BatchNorm_0"])
+    t.lr_dw.weight.data = f2t_conv(fp["dw"]["kernel"])
+    t.lr_dw.bias.data = torch.from_numpy(np.asarray(fp["dw"]["bias"]))
+
+    def set_linear(lin, tree):
+        lin.weight.data = torch.from_numpy(
+            np.asarray(tree["kernel"]).T.copy())
+        lin.bias.data = torch.from_numpy(np.asarray(tree["bias"]))
+
+    set_linear(t.lr_out, fp["out"])
+    t.q_ln.weight.data = torch.from_numpy(
+        np.asarray(p["query_norm"]["scale"]))
+    t.q_ln.bias.data = torch.from_numpy(np.asarray(p["query_norm"]["bias"]))
+    set_linear(t.q_lin, p["query_proj"])
+    set_linear(t.proj, p["proj"])
+    set_linear(t.final, p["final"])
+    t.alpha.data = torch.from_numpy(np.asarray(p["alpha"]))
+
+    with torch.no_grad():
+        want = t(torch.from_numpy(tgt), torch.from_numpy(mem),
+                 torch.from_numpy(mask)).numpy()
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-3)
