@@ -47,6 +47,7 @@ class MaskFormerHead(nn.Module):
     dw_kernel_size: int = 5
     alpha: float = 4.0
     spike: str = "qspike"
+    decoder_order: str = "ca_sa"   # 'sa_ca' = Spike2former_layers variant
     compat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -122,7 +123,8 @@ class MaskFormerHead(nn.Module):
             query = DetrDecoderLayer(
                 embed_dims=c, num_heads=self.num_heads,
                 feedforward_channels=self.decoder_ffn_channels,
-                spike=self.spike, compat=self.compat, dtype=self.dtype,
+                spike=self.spike, order=self.decoder_order,
+                compat=self.compat, dtype=self.dtype,
                 name=f"decoder_{i}")(
                 query, decoder_inputs[lvl], decoder_inputs[lvl],
                 qpos, decoder_pes[lvl],

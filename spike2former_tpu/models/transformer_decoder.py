@@ -17,10 +17,17 @@ from .attention import MSDAFFN, SpikeMHA
 
 
 class DetrDecoderLayer(nn.Module):
+    """``order='ca_sa'`` (default) is the active DetrTransformerDecoderLayer
+    (cross → self → FFN, detr_layers.py:530-556); ``order='sa_ca'`` is the
+    alternative Spike2FormerTransformerDecoderLayer ordering (self → cross
+    → FFN, Spike2former_layers.py:154-215).  Residual adds stay in the
+    layer for both orders, matching the active path's convention."""
+
     embed_dims: int = 256
     num_heads: int = 8
     feedforward_channels: int = 2048
     spike: str = "qspike"
+    order: str = "ca_sa"
     compat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -30,17 +37,27 @@ class DetrDecoderLayer(nn.Module):
                  train: bool = False):
         """query [T,B,nq,C]; key/value [T,B,nk,C]; *_pos [B,n,C]
         (broadcast over T)."""
-        q_ca = SpikeMHA(self.embed_dims, self.num_heads, self.spike,
-                        self.dtype, name="cross_attn")(
-            query + query_pos, key + key_pos, value,
-            attn_mask=cross_attn_mask, train=train)
-        query = query + q_ca
 
-        q_sa = SpikeMHA(self.embed_dims, self.num_heads, self.spike,
-                        self.dtype, name="self_attn")(
-            query + query_pos, query + query_pos, query,
-            attn_mask=self_attn_mask, train=train)
-        query = query + q_sa
+        def cross(q):
+            return q + SpikeMHA(
+                self.embed_dims, self.num_heads, self.spike, self.dtype,
+                name="cross_attn")(
+                q + query_pos, key + key_pos, value,
+                attn_mask=cross_attn_mask, train=train)
+
+        def self_(q):
+            return q + SpikeMHA(
+                self.embed_dims, self.num_heads, self.spike, self.dtype,
+                name="self_attn")(
+                q + query_pos, q + query_pos, q,
+                attn_mask=self_attn_mask, train=train)
+
+        if self.order == "ca_sa":
+            query = self_(cross(query))
+        elif self.order == "sa_ca":
+            query = cross(self_(query))
+        else:
+            raise ValueError(f"unknown order {self.order!r}")
 
         query = query + MSDAFFN(
             self.embed_dims, self.feedforward_channels, spike=self.spike,
