@@ -9,6 +9,7 @@ from .attention import (SpikeMHA, LinearSpikeMHA, SpikeMultiheadAttention,
                         MSDAFFN, SpikeMLP3)
 from .cascade import CascadeSegmentor, CascadeRefineHead
 from .msresnet import MSResNet, SnnBasicBlock
+from .cyclemlp import CycleFC, CycleMLP, CycleBlock
 
 __all__ = [
     "SpikingMetaFormer", "MaskFormerHead", "semantic_inference",
@@ -17,5 +18,5 @@ __all__ = [
     "FPNSegmentor", "FPNNeck", "FPNHead", "DetrDecoderLayer", "DCNv3",
     "SpikeMHA", "LinearSpikeMHA", "SpikeMultiheadAttention", "MSDAFFN",
     "SpikeMLP3", "CascadeSegmentor", "CascadeRefineHead",
-    "MSResNet", "SnnBasicBlock",
+    "MSResNet", "SnnBasicBlock", "CycleFC", "CycleMLP", "CycleBlock",
 ]

@@ -841,3 +841,52 @@ def test_pem_ca_parity():
         want = t(torch.from_numpy(tgt), torch.from_numpy(mem),
                  torch.from_numpy(mask)).numpy()
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-3)
+
+
+def test_cycle_fc_parity():
+    """CycleFC (CycleMLP.py:54-131): per-channel staircase shift (zero
+    fill) + 1x1 projection — golden computed directly in numpy."""
+    from spike2former_tpu.models.cyclemlp import CycleFC
+
+    b, hh, ww, c, cout, k = 2, 5, 7, 6, 4, 3
+    x = RNG.normal(0, 1, (b, hh, ww, c)).astype(np.float32)
+    for kernel, axis in (((1, k), 2), ((k, 1), 1)):
+        mod = CycleFC(cout, kernel)
+        vars_ = randomize_variables(mod.init(jax.random.PRNGKey(0), x))
+        got = np.asarray(mod.apply(vars_, jnp.asarray(x)))
+
+        start = k // 2
+        shifted = np.zeros_like(x)
+        n = x.shape[axis]
+        for i in range(c):
+            s = (i + start) % k - k // 2
+            src = np.take(x, np.arange(n) + s, axis=axis, mode="clip")
+            # zero out-of-range (deform_conv2d zero padding)
+            idx = np.arange(n) + s
+            bad = (idx < 0) | (idx >= n)
+            sl = [slice(None)] * 4
+            sl[axis] = bad
+            src = src.copy()
+            src[tuple(sl)] = 0.0
+            shifted[..., i] = src[..., i]
+        wgt = np.asarray(vars_["params"]["Dense_0"]["kernel"])
+        bias = np.asarray(vars_["params"]["Dense_0"]["bias"])
+        want = shifted @ wgt + bias
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4), kernel
+
+
+def test_cycle_mlp_block_shapes():
+    from spike2former_tpu.models.cyclemlp import CycleBlock, CycleMLP
+
+    x = jnp.asarray(RNG.normal(0, 1, (2, 6, 8, 16)), jnp.float32)
+    mod = CycleMLP(16)
+    vars_ = mod.init(jax.random.PRNGKey(0), x)
+    out = mod.apply(vars_, x)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+    blk = CycleBlock(16, skip_lam=2.0)
+    vars_ = blk.init(jax.random.PRNGKey(0), x)
+    out = blk.apply(vars_, x)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
