@@ -10,6 +10,8 @@ from .attention import (SpikeMHA, LinearSpikeMHA, SpikeMultiheadAttention,
 from .cascade import CascadeSegmentor, CascadeRefineHead
 from .msresnet import MSResNet, SnnBasicBlock
 from .cyclemlp import CycleFC, CycleMLP, CycleBlock
+from .deformable import (SpikeMSDeformAttention, SpikeDeformableEncoder,
+                         SpikeDeformableEncoderLayer)
 
 __all__ = [
     "SpikingMetaFormer", "MaskFormerHead", "semantic_inference",
@@ -19,4 +21,6 @@ __all__ = [
     "SpikeMHA", "LinearSpikeMHA", "SpikeMultiheadAttention", "MSDAFFN",
     "SpikeMLP3", "CascadeSegmentor", "CascadeRefineHead",
     "MSResNet", "SnnBasicBlock", "CycleFC", "CycleMLP", "CycleBlock",
+    "SpikeMSDeformAttention", "SpikeDeformableEncoder",
+    "SpikeDeformableEncoderLayer",
 ]

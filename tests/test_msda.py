@@ -50,3 +50,44 @@ def test_msda_matches_torch():
         jnp.asarray(value), shapes, jnp.asarray(locs),
         jnp.asarray(weights)))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_spike_deformable_encoder_end_to_end():
+    """SpikeMSDeformAttention + deformable encoder
+    (multi_scale_deform_attn.py:175-414, deformable_detr_layers.py:23-400):
+    shapes, finiteness, and the spike-not-softmax attention-weight path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spike2former_tpu.models.deformable import (
+        SpikeDeformableEncoder, SpikeMSDeformAttention,
+        encoder_reference_points)
+
+    shapes = ((8, 8), (4, 4))
+    n_tok = sum(h * w for h, w in shapes)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(0, 1, (1, 2, n_tok, 16)), jnp.float32)
+
+    ref = encoder_reference_points(shapes)
+    assert ref.shape == (n_tok, 2, 2)
+    # first token of level 0 sits at pixel center (0.5/W, 0.5/H)
+    np.testing.assert_allclose(np.asarray(ref)[0, 0], [0.5 / 8, 0.5 / 8])
+
+    attn = SpikeMSDeformAttention(16, num_heads=4, num_levels=2,
+                                  num_points=3)
+    v = attn.init(jax.random.PRNGKey(0), q, q, ref, shapes)
+    out = attn.apply(v, q, q, ref, shapes)
+    assert out.shape == q.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+    enc = SpikeDeformableEncoder(num_layers=2, embed_dims=16, num_heads=4,
+                                 num_points=3, feedforward_channels=32)
+    v = enc.init(jax.random.PRNGKey(0), q, shapes)
+    out, _ = enc.apply(v, q, shapes, True,
+                       rngs={"dropout": jax.random.PRNGKey(1)},
+                       mutable=["batch_stats"])
+    assert out.shape == q.shape
+    assert np.isfinite(np.asarray(out)).all()
+    # layer-scale keeps the residual tiny at init
+    assert float(jnp.abs(out - q).max()) < 1e-2
