@@ -145,3 +145,54 @@ def test_surrogate_zoo_gradients():
     expect = a - a * a * np.abs(np.asarray(v))
     expect[np.abs(np.asarray(v)) > 1 / a] = 0.0
     np.testing.assert_allclose(np.asarray(g_pq), expect, rtol=1e-5)
+
+
+def test_spiking_rnn_cells_semantics():
+    """SpikingLSTM/GRU/VanillaRNN (rnn.py:496-881): binary heaviside
+    states, LSTM c = c*f + i*g h = c*o recursion checked by hand."""
+    from spike2former_tpu.ops.rnn import (SpikingGRU, SpikingLSTM,
+                                          SpikingVanillaRNN)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (5, 2, 6)), jnp.float32)
+
+    lstm = SpikingLSTM(hidden_size=4)
+    vars_ = lstm.init(jax.random.PRNGKey(0), x)
+    hs, (h, c) = lstm.apply(vars_, x)
+    assert hs.shape == (5, 2, 4) and h.shape == (2, 4)
+    # h = c*o with integer-accumulating c: nonneg integers, not binary
+    vals = np.unique(np.asarray(hs))
+    assert (vals >= 0).all() and np.allclose(vals, np.round(vals))
+
+    # manual recursion with extracted weights
+    p = vars_["params"]
+    wih = np.asarray(p["linear_ih"]["kernel"])
+    bih = np.asarray(p["linear_ih"]["bias"])
+    whh = np.asarray(p["hh_kernel"])
+    bhh = np.asarray(p["hh_bias"])
+    hh = np.zeros((2, 4), np.float32)
+    cc = np.zeros((2, 4), np.float32)
+    xs = np.asarray(x)
+    for t in range(5):
+        gates = xs[t] @ wih + bih + hh @ whh + bhh
+        i, f, g, o = np.split(gates, 4, axis=-1)
+        i, f, g, o = [(v >= 0).astype(np.float32) for v in (i, f, g, o)]
+        cc = cc * f + i * g
+        hh = cc * o
+    np.testing.assert_allclose(np.asarray(h), hh)
+    np.testing.assert_allclose(np.asarray(c), cc)
+
+    for mod in (SpikingGRU(hidden_size=4), SpikingVanillaRNN(hidden_size=4)):
+        vars_ = mod.init(jax.random.PRNGKey(1), x)
+        hs, _ = mod.apply(vars_, x)
+        assert hs.shape == (5, 2, 4)
+        assert np.isfinite(np.asarray(hs)).all()
+
+    # gradients flow through the surrogates (no dead graph)
+    def loss(params):
+        out, _ = lstm.apply({"params": params}, x)
+        return jnp.sum(out)
+
+    grads = jax.grad(loss)(vars_ if False else p)
+    assert max(float(jnp.abs(g).max())
+               for g in jax.tree_util.tree_leaves(grads)) > 0
