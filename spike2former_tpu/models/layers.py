@@ -70,6 +70,9 @@ class Spike(nn.Module):
         fn, d = SPIKE_FNS[self.kind]
         y = fn(x)
         self.sow("spikes", "rate", spike_rate(y, d))
+        # the vendored Monitor's second statistic (monitor.py:11-220):
+        # fraction of sites that did NOT fire this forward
+        self.sow("spikes", "nonfire", jnp.mean((y == 0).astype(jnp.float32)))
         return y
 
 

@@ -57,3 +57,19 @@ def test_fast_variables_match_init_structure(tiny):
 def test_count_params_positive(tiny):
     _, vars_, _ = tiny
     assert count_params(vars_) > 1000
+
+
+def test_nonfire_ratio_stat(tiny):
+    """Monitor's non-fire-ratio statistic (monitor.py:11-220) is sown at
+    every spike site alongside the firing rate."""
+    import numpy as np
+
+    from spike2former_tpu.utils.firing import _flatten
+
+    model, variables, images = tiny
+    _, aux = model.apply(variables, images, mutable=["spikes"])
+    flat = _flatten(aux["spikes"])
+    nonfire = {k: float(np.asarray(v[0] if isinstance(v, tuple) else v))
+               for k, v in flat.items() if k.endswith("nonfire")}
+    assert nonfire, "no nonfire stats recorded"
+    assert all(0.0 <= v <= 1.0 for v in nonfire.values())

@@ -19,9 +19,14 @@ def main():
     ap.add_argument("--num-images", type=int, default=200)
     ap.add_argument("--out", default="firing_rates")
     ap.add_argument("--cfg-options", nargs="*", default=[])
+    ap.add_argument("--device", default=None,
+                    help="force backend, e.g. cpu")
     args = ap.parse_args()
 
     import jax
+
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
     import jax.numpy as jnp
     import numpy as np
 
