@@ -70,3 +70,51 @@ def inference_model(im: InferenceModel, image: str | np.ndarray
     logits = logits[:, :h, :w]  # crop padding
     logits = resize_bilinear(logits, ori_shape)
     return np.asarray(jnp.argmax(logits, -1)[0], np.int32)
+
+
+class Inferencer:
+    """Batch inference wrapper — the MMSegInferencer equivalent
+    (mmseg/apis/mmseg_inferencer.py): accepts one image or a list
+    (paths or RGB arrays), returns class maps, optionally writes
+    palette-overlay visualizations."""
+
+    def __init__(self, config: str | Config, checkpoint: str | None = None,
+                 overrides: list[str] | None = None):
+        self.im = init_model(config, checkpoint, overrides)
+
+    @property
+    def classes(self) -> tuple:
+        return self.im.classes
+
+    def __call__(self, inputs, out_dir: str | None = None,
+                 opacity: float = 0.5) -> dict:
+        """Returns {'predictions': [pred [H,W] int32, ...],
+        'visualization': [path, ...] if out_dir else []}."""
+        import os
+
+        single = not isinstance(inputs, (list, tuple))
+        items = [inputs] if single else list(inputs)
+        preds, vis_paths = [], []
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+        for i, item in enumerate(items):
+            pred = inference_model(self.im, item)
+            preds.append(pred)
+            if out_dir:
+                from PIL import Image
+
+                from .data.metainfo import DATASETS
+                from .evaluation.visualize import draw_sem_seg
+
+                img = load_image(item) if isinstance(item, str) else item
+                meta = DATASETS[self.im.cfg.data.dataset]
+                pal = (np.asarray(meta.palette, np.uint8)
+                       if meta.palette is not None else None)
+                vis = draw_sem_seg(img.astype(np.uint8), pred,
+                                   palette=pal, alpha=opacity)
+                name = (os.path.splitext(os.path.basename(item))[0]
+                        if isinstance(item, str) else f"img_{i}")
+                path = os.path.join(out_dir, f"{name}_pred.png")
+                Image.fromarray(vis).save(path)
+                vis_paths.append(path)
+        return {"predictions": preds, "visualization": vis_paths}

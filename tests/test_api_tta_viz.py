@@ -143,3 +143,30 @@ def test_cityscapes_official_protocol(tmp_path):
     ev2 = CityscapesEval()
     ev2.update(gt, gt)
     assert ev2.compute()["mIoU"] == 100.0
+
+
+def test_inferencer_batch_and_visualization(tmp_path):
+    """MMSegInferencer equivalent: list input, overlay writing."""
+    import numpy as np
+
+    from spike2former_tpu.api import Inferencer
+    from spike2former_tpu.engine.config import get_config
+
+    cfg = get_config("SDTv2_maskformer_DCNpixelDecoder_ade20k", [
+        "model.num_classes=5", "model.embed_dim=(8,16,24,32)",
+        "model.backbone_heads=4", "model.feat_channels=16",
+        "model.num_queries=4", "model.num_decoder_layers=1",
+        "model.num_encoder_layers=1", "model.depths_stage3=1",
+        "model.depths_stage4=1", "model.dcn_group=4",
+        "data.crop_size=(64,64)", "data.test_scale=(96,64)"])
+    inf = Inferencer(cfg)
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 255, (70, 90, 3)).astype(np.uint8)
+            for _ in range(2)]
+    out = inf(imgs, out_dir=str(tmp_path))
+    assert len(out["predictions"]) == 2
+    assert out["predictions"][0].shape == (70, 90)
+    assert len(out["visualization"]) == 2
+    import os
+    assert all(os.path.exists(p) for p in out["visualization"])
+    assert len(inf.classes) == 150  # metainfo classes of the preset dataset
