@@ -113,31 +113,38 @@ def load_torch_state_dict_raw(path: str) -> dict[str, np.ndarray]:
                 np.asarray(v)) for k, v in ckpt.items()}
 
 
-def load_reference_model(path: str, *, depths_stage3: int = 6,
+def load_reference_model(path: str, *, variant: str = "sdtv2",
+                         depths_stage3: int = 6,
                          depths_stage4: int = 2, num_encoder_layers: int = 6,
                          num_decoder_layers: int = 6):
     """Load a FULL reference EncoderDecoder checkpoint (the ``load_from``
     flow, tools/test.py:104) into flax variables for
-    ``Spike2Former(compat=True)``."""
+    ``Spike2Former(compat=True, variant=variant)``."""
     from .convert import convert_spike2former
 
     sd = load_torch_state_dict_raw(path)
     return convert_spike2former(
-        sd, depths_stage3=depths_stage3, depths_stage4=depths_stage4,
+        sd, variant=variant,
+        depths_stage3=depths_stage3, depths_stage4=depths_stage4,
         num_encoder_layers=num_encoder_layers,
         num_decoder_layers=num_decoder_layers)
 
 
 def load_reference_backbone(path: str, variables, depths_stage3: int = 6,
-                            depths_stage4: int = 2):
+                            depths_stage4: int = 2,
+                            variant: str = "sdtv2"):
     """Load a reference torch checkpoint into a model's backbone subtree
     (the init_cfg Pretrained flow, sdtv2.py:577-612)."""
     from flax.core import unfreeze
 
-    from .convert_sdtv2 import convert_sdtv2_backbone
-
     sd = load_torch_state_dict(path)
-    conv = convert_sdtv2_backbone(sd, depths_stage3, depths_stage4)
+    if variant == "sdtv2":
+        from .convert_sdtv2 import convert_sdtv2_backbone
+        conv = convert_sdtv2_backbone(sd, depths_stage3, depths_stage4)
+    else:
+        from .convert_sdtv3 import convert_sdtv3_backbone
+        conv = convert_sdtv3_backbone(sd, depths_stage3, depths_stage4,
+                                      mae=variant == "sdtv3mae")
     variables = jax.device_get(unfreeze(variables))
     variables["params"]["backbone"] = conv["params"]
     variables["batch_stats"]["backbone"] = conv["batch_stats"]

@@ -173,14 +173,30 @@ def convert_maskformer_head(sd: dict[str, np.ndarray], *,
 
 
 def convert_spike2former(sd: dict[str, np.ndarray], *,
+                         variant: str = "sdtv2",
                          depths_stage3: int = 6, depths_stage4: int = 2,
                          num_inputs: int = 4, num_encoder_layers: int = 6,
                          num_decoder_layers: int = 6) -> dict[str, Any]:
     """Full EncoderDecoder checkpoint (backbone.* + decode_head.*) →
-    flax variables for ``Spike2Former(compat=True)``."""
+    flax variables for ``Spike2Former(compat=True, variant=variant)``.
+
+    ``variant`` selects the backbone key map: 'sdtv2'
+    (Spiking_vit_MetaFormer, sdtv2.py:424-655), 'sdtv3'
+    (Spiking_vit_MetaFormerv2 / E-SpikeFormer, sdtv3.py:401-616 — the
+    published Cityscapes checkpoint family, tools/test.sh:7), or
+    'sdtv3mae' (Spiking_vit_MetaFormerv3, sdtv3MAE.py:526-750).  The
+    decode_head key layout is backbone-independent.
+    """
     bb_sd = {k[len("backbone."):]: v for k, v in sd.items()
              if k.startswith("backbone.")}
-    backbone = convert_sdtv2_backbone(bb_sd, depths_stage3, depths_stage4)
+    if variant == "sdtv2":
+        backbone = convert_sdtv2_backbone(bb_sd, depths_stage3, depths_stage4)
+    elif variant in ("sdtv3", "sdtv3mae"):
+        from .convert_sdtv3 import convert_sdtv3_backbone
+        backbone = convert_sdtv3_backbone(
+            bb_sd, depths_stage3, depths_stage4, mae=variant == "sdtv3mae")
+    else:
+        raise ValueError(f"unknown backbone variant {variant!r}")
     head = convert_maskformer_head(
         sd, num_inputs=num_inputs, num_encoder_layers=num_encoder_layers,
         num_decoder_layers=num_decoder_layers)

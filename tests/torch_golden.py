@@ -254,6 +254,299 @@ class GoldenBackbone(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# Backbone (sdtv3 / E-SpikeFormer + sdtv3MAE), reference key names
+# ---------------------------------------------------------------------------
+
+def ms4(x):
+    """Multispike_norm: round(clamp(x, 0, 4)) / 4 (Qtrick.py:27-38)."""
+    return torch.round(torch.clamp(x, 0, 4)) / 4
+
+
+def ms8up(x):
+    """sdtv3MAE Multispike: floor(clamp(x,0,8)+0.5)/8 (sdtv3MAE.py:136-159)."""
+    return torch.floor(torch.clamp(x, 0, 8) + 0.5) / 8
+
+
+class SepConvSpikeCF(nn.Module):
+    """SepConv_Spike in backbone layout [T, B, C, H, W] (sdtv3.py:99-150):
+    3 spikes, BN after every conv; key names pwconv1/dwconv/pwconv2.{0,1}."""
+
+    def __init__(self, dim, e=2, k=7, p=3, spike=ms4):
+        super().__init__()
+        m = dim * e
+        self.pwconv1 = conv_bn(dim, m, bias=False)
+        self.dwconv = conv_bn(m, m, k, p=p, groups=m, bias=False)
+        self.pwconv2 = conv_bn(m, dim, bias=False)
+        self.spike = spike
+
+    def forward(self, x):
+        t, b, c, h, w = x.shape
+        x = self.spike(x)
+        x = self.pwconv1(x.flatten(0, 1)).reshape(t, b, -1, h, w)
+        x = self.spike(x)
+        x = self.dwconv(x.flatten(0, 1)).reshape(t, b, -1, h, w)
+        x = self.spike(x)
+        return self.pwconv2(x.flatten(0, 1)).reshape(t, b, c, h, w)
+
+
+class MSConvBlockV3(nn.Module):
+    """MS_ConvBlock_spike_SepConv (sdtv3.py:153-189) / the MAE file's
+    MS_ConvBlock (sdtv3MAE.py:172-209)."""
+
+    def __init__(self, dim, r=4, spike=ms4):
+        super().__init__()
+        self.Conv = SepConvSpikeCF(dim, spike=spike)
+        self.conv1 = nn.Conv2d(dim, dim * r, 3, padding=1, bias=False)
+        self.bn1 = nn.BatchNorm2d(dim * r)
+        self.conv2 = nn.Conv2d(dim * r, dim, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(dim)
+        self.spike = spike
+
+    def forward(self, x):
+        t, b, c, h, w = x.shape
+        x = self.Conv(x) + x
+        feat = x
+        x = self.spike(x)
+        x = self.bn1(self.conv1(x.flatten(0, 1))).reshape(t, b, -1, h, w)
+        x = self.spike(x)
+        x = self.bn2(self.conv2(x.flatten(0, 1))).reshape(t, b, c, h, w)
+        return feat + x
+
+
+class MSMLPV3(nn.Module):
+    """MS_MLP (sdtv3.py:192-225): same key names as sdtv2's, multispike."""
+
+    def __init__(self, dim, hidden, spike=ms4):
+        super().__init__()
+        self.fc1_conv = nn.Conv1d(dim, hidden, 1)
+        self.fc1_bn = nn.BatchNorm1d(hidden)
+        self.fc2_conv = nn.Conv1d(hidden, dim, 1)
+        self.fc2_bn = nn.BatchNorm1d(dim)
+        self.hidden = hidden
+        self.spike = spike
+
+    def forward(self, x):
+        t, b, c, h, w = x.shape
+        n = h * w
+        x = x.flatten(3)
+        x = self.spike(x)
+        x = self.fc1_bn(self.fc1_conv(x.flatten(0, 1))).reshape(
+            t, b, self.hidden, n)
+        x = self.spike(x)
+        return self.fc2_bn(self.fc2_conv(x.flatten(0, 1))).reshape(
+            t, b, c, h, w)
+
+
+class MSAttentionLinear(nn.Module):
+    """MS_Attention_linear (sdtv3.py:228-318): conv1x1+BN q/k, v widened by
+    lamda_ratio=4, softmax-free ``(q k^T) v * (scale*2)``."""
+
+    def __init__(self, dim, heads, lamda=4, spike=ms4):
+        super().__init__()
+        self.h, self.dim, self.lamda = heads, dim, lamda
+        cv = dim * lamda
+        self.q_conv = conv_bn(dim, dim, bias=False)
+        self.k_conv = conv_bn(dim, dim, bias=False)
+        self.v_conv = conv_bn(dim, cv, bias=False)
+        self.proj_conv = conv_bn(cv, dim, bias=False)
+        self.spike = spike
+
+    def forward(self, x):
+        t, b, c, h, w = x.shape
+        n = h * w
+        cv = c * self.lamda
+        x = self.spike(x)
+        xf = x.flatten(0, 1)
+        q = self.spike(self.q_conv(xf).reshape(t, b, c, h, w))
+        k = self.spike(self.k_conv(xf).reshape(t, b, c, h, w))
+        v = self.spike(self.v_conv(xf).reshape(t, b, cv, h, w))
+
+        def heads(y, ch):
+            return (y.flatten(3).transpose(-1, -2)
+                    .reshape(t, b, n, self.h, ch // self.h)
+                    .permute(0, 1, 3, 2, 4))
+
+        qh, kh, vh = heads(q, c), heads(k, c), heads(v, cv)
+        out = (qh @ kh.transpose(-2, -1)) @ vh
+        out = out * ((c // self.h) ** -0.5 * 2)
+        out = out.transpose(3, 4).reshape(t, b, cv, n)
+        out = self.spike(out).reshape(t, b, cv, h, w)
+        return self.proj_conv(out.flatten(0, 1)).reshape(t, b, c, h, w)
+
+
+class MSBlockV3(nn.Module):
+    """MS_Block_Spike_SepConv (sdtv3.py:321-360): x+conv, x+attn, x+mlp."""
+
+    def __init__(self, dim, heads, r=4):
+        super().__init__()
+        self.conv = SepConvSpikeCF(dim, k=3, p=1)
+        self.attn = MSAttentionLinear(dim, heads)
+        self.mlp = MSMLPV3(dim, dim * r)
+
+    def forward(self, x):
+        x = x + self.conv(x)
+        x = x + self.attn(x)
+        return x + self.mlp(x)
+
+
+class MSAttentionCSWin(nn.Module):
+    """MS_Attention_linear_cswin + LePEAttention (sdtv3MAE.py:257-436):
+    channels split into H-stripe / W-stripe branches (split_num=2), or one
+    global branch when last_stage."""
+
+    def __init__(self, dim, heads, lamda=4, last_stage=False, split=2):
+        super().__init__()
+        self.dim, self.h, self.lamda = dim, heads, lamda
+        self.last, self.split = last_stage, split
+        cv = dim * lamda
+        self.q_conv = conv_bn(dim, dim, bias=False)
+        self.k_conv = conv_bn(dim, dim, bias=False)
+        self.v_conv = conv_bn(dim, cv, bias=False)
+        self.proj_conv = conv_bn(cv, dim, bias=False)
+
+    def _stripe(self, q, k, v, h_num, w_num, heads):
+        t, b, c, hh, ww = q.shape
+        cv = v.shape[2]
+        hs, ws = hh // h_num, ww // w_num
+        n = hs * ws
+
+        def part(y, ch):
+            y = y.reshape(t, b, ch, h_num, hs, w_num, ws)
+            y = y.permute(0, 1, 3, 5, 4, 6, 2).reshape(t, -1, n, ch)
+            return (y.reshape(t, -1, n, heads, ch // heads)
+                    .permute(0, 1, 3, 2, 4))
+
+        qh, kh, vh = part(q, c), part(k, c), part(v, cv)
+        scale = (self.dim // self.h) ** -0.5
+        out = (qh @ kh.transpose(-2, -1)) @ vh * (scale * 2)
+        out = out.transpose(2, 3).reshape(t, -1, n, cv)
+        out = out.reshape(t, b, h_num, w_num, hs, ws, cv)
+        out = out.permute(0, 1, 2, 4, 3, 5, 6).reshape(t, b, hh, ww, cv)
+        return out.permute(0, 1, 4, 2, 3)
+
+    def forward(self, x):
+        t, b, c, hh, ww = x.shape
+        cv = c * self.lamda
+        x = ms8up(x)
+        xf = x.flatten(0, 1)
+        q = ms8up(self.q_conv(xf).reshape(t, b, c, hh, ww))
+        k = ms8up(self.k_conv(xf).reshape(t, b, c, hh, ww))
+        v = ms8up(self.v_conv(xf).reshape(t, b, cv, hh, ww))
+        if self.last:
+            out = self._stripe(q, k, v, 1, 1, self.h)
+        else:
+            o1 = self._stripe(q[:, :, :c // 2], k[:, :, :c // 2],
+                              v[:, :, :cv // 2], 1, self.split, self.h // 2)
+            o2 = self._stripe(q[:, :, c // 2:], k[:, :, c // 2:],
+                              v[:, :, cv // 2:], self.split, 1, self.h // 2)
+            out = torch.cat([o1, o2], dim=2)
+        out = ms8up(out)
+        return self.proj_conv(out.flatten(0, 1)).reshape(t, b, c, hh, ww)
+
+
+class MSBlockCSWin(nn.Module):
+    """MS_Block_cswin (sdtv3MAE.py:439-483): layer-scaled residuals."""
+
+    def __init__(self, dim, heads, r=4, last_stage=False):
+        super().__init__()
+        self.conv = SepConvSpikeCF(dim, k=3, p=1, spike=ms8up)
+        self.attn = MSAttentionCSWin(dim, heads, last_stage=last_stage)
+        self.mlp = MSMLPV3(dim, dim * r, spike=ms8up)
+        self.layer_scale1 = nn.Parameter(1e-6 * torch.ones(dim))
+        self.layer_scale2 = nn.Parameter(1e-6 * torch.ones(dim))
+        self.layer_scale3 = nn.Parameter(1e-6 * torch.ones(dim))
+
+    def forward(self, x):
+        def g(p):
+            return p.view(1, 1, -1, 1, 1)
+
+        x = x + self.conv(x) * g(self.layer_scale1)
+        x = x + self.attn(x) * g(self.layer_scale2)
+        return x + self.mlp(x) * g(self.layer_scale3)
+
+
+class GoldenBackboneV3(nn.Module):
+    """Spiking_vit_MetaFormerv2 (sdtv3.py:401-616) or, with ``mae=True``,
+    Spiking_vit_MetaFormerv3 (sdtv3MAE.py:526-750: no downsample4, both deep
+    stages at embed_dim[2], CSWin blocks, outputs averaged over T)."""
+
+    def __init__(self, embed_dim=(64, 128, 256, 360), heads=8, T=1,
+                 depths_stage3=6, depths_stage4=2, mae=False):
+        super().__init__()
+        e = embed_dim
+        self.T, self.mae = T, mae
+        spike = ms8up if mae else ms4
+        self.downsample1_1 = MSDownSamplingV3(3, e[0] // 2, 7, 2, 3,
+                                              first=True, spike=spike)
+        self.ConvBlock1_1 = nn.ModuleList(
+            [MSConvBlockV3(e[0] // 2, spike=spike)])
+        self.downsample1_2 = MSDownSamplingV3(e[0] // 2, e[0], 3, 2, 1,
+                                              spike=spike)
+        self.ConvBlock1_2 = nn.ModuleList([MSConvBlockV3(e[0], spike=spike)])
+        self.downsample2 = MSDownSamplingV3(e[0], e[1], 3, 2, 1, spike=spike)
+        self.ConvBlock2_1 = nn.ModuleList([MSConvBlockV3(e[1], spike=spike)])
+        self.ConvBlock2_2 = nn.ModuleList([MSConvBlockV3(e[1], spike=spike)])
+        self.downsample3 = MSDownSamplingV3(e[1], e[2], 3, 2, 1, spike=spike)
+        if mae:
+            self.block3 = nn.ModuleList(
+                [MSBlockCSWin(e[2], heads) for _ in range(depths_stage3)])
+            self.block4 = nn.ModuleList(
+                [MSBlockCSWin(e[2], heads, last_stage=True)
+                 for _ in range(depths_stage4)])
+        else:
+            self.block3 = nn.ModuleList(
+                [MSBlockV3(e[2], heads) for _ in range(depths_stage3)])
+            self.downsample4 = MSDownSamplingV3(e[2], e[3], 3, 1, 1,
+                                                spike=spike)
+            self.block4 = nn.ModuleList(
+                [MSBlockV3(e[3], heads) for _ in range(depths_stage4)])
+
+    def forward(self, x):  # [B, 3, H, W] normalized
+        x = x.unsqueeze(0).repeat(self.T, 1, 1, 1, 1)
+        x = self.downsample1_1(x)
+        for blk in self.ConvBlock1_1:
+            x = blk(x)
+        x1 = x
+        x = self.downsample1_2(x)
+        for blk in self.ConvBlock1_2:
+            x = blk(x)
+        x2 = x
+        x = self.downsample2(x)
+        for blk in self.ConvBlock2_1:
+            x = blk(x)
+        for blk in self.ConvBlock2_2:
+            x = blk(x)
+        x3 = x
+        x = self.downsample3(x)
+        for blk in self.block3:
+            x = blk(x)
+        if not self.mae:
+            x = self.downsample4(x)
+        for blk in self.block4:
+            x = blk(x)
+        if self.mae:  # mean over T, kept as a T=1 axis (sdtv3MAE.py:745)
+            return [y.mean(0, keepdim=True) for y in (x1, x2, x3, x)]
+        return [x1, x2, x3, x]
+
+
+class MSDownSamplingV3(nn.Module):
+    def __init__(self, cin, cout, k, s, p, first=False, spike=ms4):
+        super().__init__()
+        self.encode_conv = nn.Conv2d(cin, cout, k, s, p)
+        self.encode_bn = nn.BatchNorm2d(cout)
+        self.first = first
+        self.spike = spike
+
+    def forward(self, x):
+        t, b = x.shape[:2]
+        if not self.first:
+            x = self.spike(x)
+        x = self.encode_conv(x.flatten(0, 1))
+        _, c, h, w = x.shape
+        return self.encode_bn(x).reshape(t, b, c, h, w)
+
+
+# ---------------------------------------------------------------------------
 # Head blocks
 # ---------------------------------------------------------------------------
 
@@ -609,13 +902,21 @@ class GoldenHead(nn.Module):
 class GoldenSpike2Former(nn.Module):
     def __init__(self, num_classes=5, embed_dim=(8, 16, 24, 32), heads=4,
                  T=1, feat=16, num_queries=4, dec_layers=2, enc_layers=2,
-                 group=4, depths_stage3=1, depths_stage4=1):
+                 group=4, depths_stage3=1, depths_stage4=1,
+                 variant="sdtv2"):
         super().__init__()
         e = embed_dim
-        self.backbone = GoldenBackbone(e, heads, T, depths_stage3,
-                                       depths_stage4)
+        if variant == "sdtv2":
+            self.backbone = GoldenBackbone(e, heads, T, depths_stage3,
+                                           depths_stage4)
+            last_c = e[3]
+        else:
+            self.backbone = GoldenBackboneV3(
+                e, heads, T, depths_stage3, depths_stage4,
+                mae=variant == "sdtv3mae")
+            last_c = e[2] if variant == "sdtv3mae" else e[3]
         self.decode_head = GoldenHead(
-            (e[0] // 2, e[0], e[1], e[3]), feat, feat, num_classes,
+            (e[0] // 2, e[0], e[1], last_c), feat, feat, num_classes,
             num_queries, dec_layers, enc_layers, heads=8, group=group)
 
     def forward(self, x):  # [B, 3, H, W] normalized

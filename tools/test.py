@@ -102,6 +102,7 @@ def main():
 
         variables = load_reference_model(
             args.torch_checkpoint,
+            variant=cfg.model.variant,
             depths_stage3=cfg.model.depths_stage3,
             depths_stage4=cfg.model.depths_stage4,
             num_encoder_layers=cfg.model.num_encoder_layers,
