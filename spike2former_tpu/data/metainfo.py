@@ -183,17 +183,21 @@ CHASE_DB1 = DatasetMeta(
             "val": ("images/validation", "annotations/validation")},
 )
 
-# DDD17 DVS event-camera driving dataset (mmseg ddd17.py): 6 classes over
-# event-frame tensors stored as images.
+# DDD17 DVS event-camera driving dataset (mmseg ddd17.py:17-36 +
+# configs/_base_/datasets/ddd17.py): 6 classes over event-frame tensors
+# stored as .npy files in the ADE layout; eval at the native non-square
+# 200x352 resolution.
 DDD17 = DatasetMeta(
     name="ddd17",
-    classes=("flat", "construction", "object", "nature", "human",
+    classes=("flat", "construction+sky", "object", "nature", "human",
              "vehicle"),
+    palette=((120, 120, 120), (180, 120, 120), (6, 230, 230), (80, 50, 50),
+             (4, 200, 3), (120, 120, 80)),
     reduce_zero_label=False,
-    img_suffix=".png",
-    seg_suffix="_gt.png",
-    splits={"train": ("images/train", "labels/train"),
-            "val": ("images/val", "labels/val")},
+    img_suffix=".npy",
+    seg_suffix=".png",
+    splits={"train": ("images/training", "annotations/training"),
+            "val": ("images/validation", "annotations/validation")},
 )
 
 for _d in (PASCAL_CONTEXT, PASCAL_CONTEXT_59, SYNAPSE, DRIVE, CHASE_DB1,

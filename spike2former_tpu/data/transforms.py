@@ -23,8 +23,33 @@ Sample = dict
 
 
 def load_image(path: str) -> np.ndarray:
+    if path.endswith((".npy", ".npz")):
+        return _load_event_frame(path)
     with Image.open(path) as im:
         return np.asarray(im.convert("RGB"))
+
+
+def _load_event_frame(path: str) -> np.ndarray:
+    """Event-camera frames stored as .npy/.npz (the DDD17 pipeline's
+    LoadImageFromNpyFile, mmseg transforms/loading.py:630-693 — loads the
+    raw array).  Canonicalized to [H, W, 3] uint8 for the shared 3-channel
+    image pipeline: 2-channel (pos/neg event counts) frames get a zero
+    third channel; single-channel frames are replicated."""
+    arr = np.load(path)
+    if isinstance(arr, np.lib.npyio.NpzFile):
+        arr = arr[arr.files[0]]
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    elif arr.shape[-1] == 1:
+        arr = np.repeat(arr, 3, axis=-1)
+    elif arr.shape[-1] == 2:
+        arr = np.concatenate([arr, np.zeros_like(arr[..., :1])], axis=-1)
+    else:
+        arr = arr[..., :3]
+    if arr.dtype != np.uint8:
+        arr = np.clip(arr, 0, 255)
+    return arr.astype(np.uint8)
 
 
 def load_annotation(path: str, reduce_zero_label: bool) -> np.ndarray:
