@@ -64,7 +64,13 @@ class TrainConfig:
     checkpoint_interval: int = 10_000
     max_gt: int = 64
     matcher: str = "auction"          # 'auction' (on-device) | 'host' (scipy)
-    loss_at: str = "pred"             # mask-loss resolution ('gt' = ref-exact)
+    # Mask-loss resolution: 'gt' upsamples mask logits to GT resolution
+    # before CE/dice/focal — the reference recipe exactly
+    # (maskformer_head.py:475-494).  'pred' computes losses at prediction
+    # resolution (downsampled GT): ~4x cheaper mask losses, quantified at
+    # <=18% loss delta / grad cosine >0.9 (test_loss_at_pred_vs_gt_
+    # equivalence) — the documented fast path, NOT the default.
+    loss_at: str = "gt"
     accum_steps: int = 1              # grad accumulation (global batch 48)
     layer_decay_rate: float = 0.0     # >0: backbone layer-wise lr decay
     loss_decode: tuple = (("ce", 1.0),)  # fpn family: pixel-loss spec

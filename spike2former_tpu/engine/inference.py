@@ -119,6 +119,8 @@ def _slide_impl(model: Spike2Former, variables, images_u8: jax.Array,
     per-crop forwards: one compilation, full MXU batch efficiency, no
     per-window host sync.
     """
+    import numpy as np
+
     b, h, w, _ = images_u8.shape
     ch, cw = min(crop_size[0], h), min(crop_size[1], w)
     sh, sw = stride
@@ -128,15 +130,24 @@ def _slide_impl(model: Spike2Former, variables, images_u8: jax.Array,
     w_grids = max(w - cw + sw - 1, 0) // sw + 1
     origins = [(min(hi * sh, max(h - ch, 0)), min(wi * sw, max(w - cw, 0)))
                for hi in range(h_grids) for wi in range(w_grids)]
+    nw = len(origins)
+    origins_arr = jnp.asarray(origins, jnp.int32)  # [W, 2]
 
-    crops = jnp.stack(
-        [jax.lax.dynamic_slice(x, (0, y1, x1, 0), (b, ch, cw, 3))
-         for (y1, x1) in origins], axis=0)  # [W, B, ch, cw, 3]
+    # Crop extraction, forward, and accumulation all run as lax.scan over
+    # the (static-length) window list, so the compiled program size stays
+    # FLAT in the number of windows — the reference's slide handles
+    # arbitrary grids (encoder_decoder.py:246-297) and e.g. a 4K image at
+    # 512/341 is a 100+ window grid that an unrolled loop would turn into
+    # a megabyte-scale HLO.
+    def get_crop(_, o):
+        return None, jax.lax.dynamic_slice(
+            x, (0, o[0], o[1], 0), (b, ch, cw, 3))
+
+    _, crops = jax.lax.scan(get_crop, None, origins_arr)  # [W, B, ch, cw, 3]
     crops = crops.reshape(-1, ch, cw, 3)
 
     fwd = functools.partial(
         model.apply, variables, method=type(model).predict_logits)
-    nw = len(origins)
     # window chunking scaled by crop area: ~8 512x512-equivalents per chunk
     wb = window_batch or b * max(1, (8 * 512 * 512) // (ch * cw))
     total = nw * b
@@ -144,21 +155,30 @@ def _slide_impl(model: Spike2Former, variables, images_u8: jax.Array,
     if pad:
         crops = jnp.concatenate(
             [crops, jnp.zeros((pad, ch, cw, 3), crops.dtype)], axis=0)
-    chunks = [fwd(crops[i:i + wb]) for i in range(0, total + pad, wb)]
-    logits = jnp.concatenate(chunks, axis=0)[:total].reshape(
+
+    def fwd_chunk(_, cr):
+        return None, fwd(cr)
+
+    _, logits = jax.lax.scan(
+        fwd_chunk, None, crops.reshape(-1, wb, ch, cw, 3))
+    logits = logits.reshape(-1, ch, cw, num_classes)[:total].reshape(
         nw, b, ch, cw, num_classes)
 
-    preds = jnp.zeros((b, h, w, num_classes), jnp.float32)
-    count = jnp.zeros((b, h, w, 1), jnp.float32)
-    for wi, (y1, x1) in enumerate(origins):
+    # overlap counts depend only on the static grid — fold to a constant
+    count_np = np.zeros((1, h, w, 1), np.float32)
+    for (y1, x1) in origins:
+        count_np[:, y1:y1 + ch, x1:x1 + cw] += 1.0
+
+    def accum(preds, xs):
+        o, lg = xs
         patch = jax.lax.dynamic_slice(
-            preds, (0, y1, x1, 0), (b, ch, cw, num_classes))
-        preds = jax.lax.dynamic_update_slice(
-            preds, patch + logits[wi].astype(jnp.float32), (0, y1, x1, 0))
-        cpatch = jax.lax.dynamic_slice(count, (0, y1, x1, 0), (b, ch, cw, 1))
-        count = jax.lax.dynamic_update_slice(
-            count, cpatch + 1.0, (0, y1, x1, 0))
-    return preds / jnp.maximum(count, 1.0)
+            preds, (0, o[0], o[1], 0), (b, ch, cw, num_classes))
+        return jax.lax.dynamic_update_slice(
+            preds, patch + lg.astype(jnp.float32), (0, o[0], o[1], 0)), None
+
+    preds = jnp.zeros((b, h, w, num_classes), jnp.float32)
+    preds, _ = jax.lax.scan(accum, preds, (origins_arr, logits))
+    return preds / jnp.asarray(np.maximum(count_np, 1.0))
 
 
 def postprocess_pred(logits: jax.Array, pad_shape: tuple[int, int] | None,

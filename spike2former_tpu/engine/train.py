@@ -42,7 +42,7 @@ def init_state(model: Spike2Former, tx: optax.GradientTransformation,
 
 def make_train_step(model: Spike2Former, tx: optax.GradientTransformation,
                     num_classes: int, max_gt: int = 64,
-                    matcher: str = "auction", loss_at: str = "pred",
+                    matcher: str = "auction", loss_at: str = "gt",
                     accum_steps: int = 1):
     """Returns ``train_step(state, images_u8, sem_seg) -> (state, metrics)``.
 
@@ -65,6 +65,7 @@ def make_train_step(model: Spike2Former, tx: optax.GradientTransformation,
         losses = maskformer_loss(
             cls_scores, mask_preds, gt, num_classes=num_classes,
             matcher=matcher, loss_at=loss_at)
+        losses["dropped_gt"] = gt.dropped.sum().astype(jnp.float32)
         return losses["total"], (losses, updates["batch_stats"])
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -160,7 +161,7 @@ def make_train_step_fpn(model, tx: optax.GradientTransformation,
 def make_train_step_panoptic(model: Spike2Former,
                              tx: optax.GradientTransformation,
                              num_classes: int, matcher: str = "auction",
-                             loss_at: str = "pred"):
+                             loss_at: str = "gt"):
     """Panoptic training step: GT arrives as padded instance targets
     (labels [B, G], masks [B, G, H, W], valid [B, G]) built by
     ``data.panoptic.panoptic_train_batches`` — things keep instance

@@ -35,6 +35,9 @@ class GroundTruth(NamedTuple):
     labels: jax.Array  # [B, G] int32 (class id; arbitrary where invalid)
     masks: jax.Array   # [B, G, H, W] {0,1}
     valid: jax.Array   # [B, G] bool
+    # classes present in the image but dropped because more than G were
+    # present (top-k overflow); None when the producer can't overflow
+    dropped: jax.Array | None = None  # [B] int32
 
 
 def semantic_to_instances(sem_seg: jax.Array, num_classes: int,
@@ -63,10 +66,15 @@ def semantic_to_instances(sem_seg: jax.Array, num_classes: int,
     sel = sel.astype(jnp.int32)
     valid = jnp.take_along_axis(present, sel, axis=1)
     masks = (sem_seg[:, None, :, :] == sel[:, :, None, None])
+    n_present = jnp.sum(present, axis=1, dtype=jnp.int32)
+    n_kept = jnp.sum(valid, axis=1, dtype=jnp.int32)
     return GroundTruth(
         labels=sel,
         masks=masks.astype(jnp.float32),
         valid=valid,
+        # silently-truncated GT classes (distinct classes > max_gt) —
+        # surfaced as the train metric 'dropped_gt' so overflow is visible
+        dropped=n_present - n_kept,
     )
 
 
@@ -91,15 +99,18 @@ def classification_targets(matched_q: jax.Array, gt_labels: jax.Array,
     ].set(gt_labels.astype(jnp.int32), mode="drop")
 
 
-def _layer_loss(cls_scores, mask_preds, gt: GroundTruth, *,
-                num_classes: int, class_weight, matcher: str,
+def _layer_loss(cls_scores, mask_preds, matched_q, gt: GroundTruth,
+                gt_ds, *,
+                num_classes: int, class_weight,
                 focal_weight: float, dice_weight: float,
                 num_total_masks, loss_at: str = "pred"
                 ) -> dict[str, jax.Array]:
-    """Loss for one decoder layer.
+    """Loss for one decoder layer, given its (precomputed) assignment.
 
     cls_scores [B, nq, K+1]; mask_preds [B, nq, h, w] (mask resolution);
-    gt masks at full GT resolution [B, G, H, W].
+    matched_q [B, G] (query per GT column, -1 = unmatched); gt masks at
+    full GT resolution [B, G, H, W]; gt_ds the nearest-downsampled GT at
+    mask resolution.
 
     ``loss_at='gt'`` reproduces the reference exactly (predictions
     bilinearly upsampled to GT resolution, :475-479); ``'pred'`` (default)
@@ -111,18 +122,6 @@ def _layer_loss(cls_scores, mask_preds, gt: GroundTruth, *,
     g = gt.labels.shape[1]
     h, w = mask_preds.shape[-2:]
     gh, gw = gt.masks.shape[-2:]
-
-    # ---- matching on downsampled GT ----
-    gt_ds = resize_nearest_torch(gt.masks[..., None], (h, w))[..., 0]
-    costs = jax.vmap(functools.partial(
-        match_costs, focal_weight=focal_weight, dice_weight=dice_weight))(
-        cls_scores, mask_preds, gt.labels, gt_ds, gt.valid)
-    costs = jax.lax.stop_gradient(costs)
-    if matcher == "host":
-        matched_q = hungarian_host(costs)  # [B, G]
-    else:
-        matched_q = auction_match(costs)
-    matched_q = jnp.where(gt.valid, matched_q, -1)
 
     # ---- classification targets ----
     labels = classification_targets(matched_q, gt.labels, nq, num_classes)
@@ -197,29 +196,46 @@ def maskformer_loss(
     # factor into the data-parallel loss scaling (see engine/train.py).
     num_total = jnp.maximum(jnp.sum(gt.valid.astype(jnp.float32)), 1.0)
 
+    num_layers, b = all_cls_scores.shape[:2]
+    g = gt.labels.shape[1]
+    h, w = all_mask_preds.shape[-2:]
+
+    # ---- matching, ALL layers in one assignment call ----
+    # Every decoder layer is matched independently (the reference's
+    # multi_apply over layers, :391-393), so the L per-layer problems fold
+    # into one batch of L*B cost matrices.  This matters on TPU: the
+    # auction is a sequential while-loop whose latency is iterations x
+    # dispatch — batching layers divides that latency by L instead of
+    # paying it once per layer inside the scan (the round-2 design).
+    gt_ds = resize_nearest_torch(gt.masks[..., None], (h, w))[..., 0]
+    cost_fn = jax.vmap(jax.vmap(functools.partial(
+        match_costs, focal_weight=focal_weight, dice_weight=dice_weight)),
+        in_axes=(0, 0, None, None, None))
+    costs = cost_fn(all_cls_scores, all_mask_preds, gt.labels, gt_ds,
+                    gt.valid)  # [L, B, nq, G]
+    costs = jax.lax.stop_gradient(costs).reshape(num_layers * b, -1, g)
+    if matcher == "host":
+        all_matched = hungarian_host(costs)  # one host round-trip, not L
+    else:
+        all_matched = auction_match(costs)
+    all_matched = all_matched.reshape(num_layers, b, g)
+    all_matched = jnp.where(gt.valid[None], all_matched, -1)
+
     layer_fn = functools.partial(
-        _layer_loss, gt=gt, num_classes=num_classes,
-        class_weight=class_weight, matcher=matcher,
+        _layer_loss, gt=gt, gt_ds=gt_ds, num_classes=num_classes,
+        class_weight=class_weight,
         focal_weight=focal_weight, dice_weight=dice_weight,
         num_total_masks=num_total, loss_at=loss_at)
 
-    num_layers = all_cls_scores.shape[0]
-    # One scan over decoder layers: the matching/loss body (incl. the
-    # auction while-loops) is traced and compiled ONCE instead of L times —
-    # same math as the reference's multi_apply over layers (:391-393).
-    if matcher == "host":
-        per_layer = [layer_fn(all_cls_scores[i], all_mask_preds[i])
-                     for i in range(num_layers)]
-        stacked = {k: jnp.stack([d[k] for d in per_layer])
-                   for k in per_layer[0]}
-    else:
-        def body(_, inputs):
-            cls_l, mask_l = inputs
-            li = layer_fn(cls_l, mask_l)
-            return None, li
+    # One scan over decoder layers: the loss body is traced and compiled
+    # ONCE instead of L times.
+    def body(_, inputs):
+        cls_l, mask_l, matched_l = inputs
+        li = layer_fn(cls_l, mask_l, matched_l)
+        return None, li
 
-        _, stacked = jax.lax.scan(
-            body, None, (all_cls_scores, all_mask_preds))
+    _, stacked = jax.lax.scan(
+        body, None, (all_cls_scores, all_mask_preds, all_matched))
 
     losses: dict[str, jax.Array] = {}
     for k in ("loss_cls", "loss_mask", "loss_dice"):

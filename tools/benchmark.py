@@ -66,7 +66,7 @@ def main():
         step = jax.jit(make_train_step(
             model, tx, num_classes=cfg.model.num_classes,
             max_gt=cfg.train.max_gt, matcher=cfg.train.matcher,
-            accum_steps=args.accum_steps))
+            loss_at=cfg.train.loss_at, accum_steps=args.accum_steps))
 
         def run(st):
             st, metrics = step(st, x, sem)
