@@ -228,10 +228,17 @@ def maskformer_loss(
         num_total_masks=num_total, loss_at=loss_at)
 
     # One scan over decoder layers: the loss body is traced and compiled
-    # ONCE instead of L times.
+    # ONCE instead of L times.  The body is rematerialized: without
+    # jax.checkpoint, autodiff saves every layer's loss intermediates —
+    # at loss_at='gt' that is L stacked [B, G, H, W] f32 upsampled-mask
+    # buffers (1.75 GB EACH at the flagship recipe), which blows HBM at
+    # B=4; recomputing the cheap upsample+loss math in the backward pass
+    # keeps one layer's buffers live at a time.
+    layer_fn_ckpt = jax.checkpoint(layer_fn)
+
     def body(_, inputs):
         cls_l, mask_l, matched_l = inputs
-        li = layer_fn(cls_l, mask_l, matched_l)
+        li = layer_fn_ckpt(cls_l, mask_l, matched_l)
         return None, li
 
     _, stacked = jax.lax.scan(

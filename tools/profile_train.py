@@ -112,6 +112,38 @@ def main():
     print(f"forward + loss + grad:    {t_grad:8.1f} ms "
           f"(backward ~= {t_grad - t_loss:.1f})")
 
+    # 4b. model-only backward (no losses: grad of a scalar readout) —
+    # isolates the conv/DCN-kernel backward from the loss backward
+    def model_scalar(params, stats):
+        c, m = fwd(params, stats)
+        return jnp.sum(c.astype(jnp.float32)) + jnp.sum(
+            m.astype(jnp.float32))
+
+    mgrad_j = jax.jit(lambda p, s: jax.grad(
+        lambda pp: model_scalar(pp, s))(p))
+    t_mgrad = timeit(lambda: mgrad_j(state.params, state.batch_stats))
+    print(f"model-only fwd+grad:      {t_mgrad:8.1f} ms "
+          f"(model bwd ~= {t_mgrad - t_fwd:.1f})")
+
+    # 4c. loss pipeline alone on FIXED predictions (fwd excluded):
+    # matching + deep-supervised losses + their backward
+    def fixed_loss(cls, masks):
+        gt = semantic_to_instances(sem, num_classes, 64)
+        return maskformer_loss(cls, masks, gt, num_classes=num_classes,
+                               matcher=matcher, loss_at=loss_at)["total"]
+
+    key = jax.random.PRNGKey(0)
+    cls_fix = jax.random.normal(key, (7, batch, 100, num_classes + 1),
+                                jnp.float32)
+    mask_fix = jax.random.normal(key, (7, batch, 100, 128, 128),
+                                 jnp.float32)
+    lf_j = jax.jit(fixed_loss)
+    t_lf = timeit(lambda: lf_j(cls_fix, mask_fix))
+    lfg_j = jax.jit(jax.grad(fixed_loss, argnums=(0, 1)))
+    t_lfg = timeit(lambda: lfg_j(cls_fix, mask_fix))
+    print(f"losses on fixed preds:    {t_lf:8.1f} ms fwd, "
+          f"{t_lfg:8.1f} ms fwd+bwd")
+
     # 5. optimizer update alone
     grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
 
