@@ -175,7 +175,7 @@ def make_train_step_panoptic(model: Spike2Former,
         (cls_scores, mask_preds), updates = model.apply(
             {"params": params, "batch_stats": batch_stats}, x, True,
             mutable=["batch_stats"])
-        gt = GroundTruth(labels, masks.astype(jnp.float32), valid)
+        gt = GroundTruth(labels, masks.astype(jnp.bool_), valid)
         losses = maskformer_loss(
             cls_scores, mask_preds, gt, num_classes=num_classes,
             matcher=matcher, loss_at=loss_at)

@@ -33,7 +33,8 @@ class GroundTruth(NamedTuple):
     """Padded mask-classification targets."""
 
     labels: jax.Array  # [B, G] int32 (class id; arbitrary where invalid)
-    masks: jax.Array   # [B, G, H, W] {0,1}
+    masks: jax.Array   # [B, G, H, W] {0,1} — bool preferred (4x less HBM
+    #                    than f32; every consumer casts at the point of use)
     valid: jax.Array   # [B, G] bool
     # classes present in the image but dropped because more than G were
     # present (top-k overflow); None when the producer can't overflow
@@ -70,7 +71,10 @@ def semantic_to_instances(sem_seg: jax.Array, num_classes: int,
     n_kept = jnp.sum(valid, axis=1, dtype=jnp.int32)
     return GroundTruth(
         labels=sel,
-        masks=masks.astype(jnp.float32),
+        # bool, not f32: [B, G, H, W] is the largest loss-side buffer
+        # (268 MB/image-batch at the flagship recipe in f32) and is re-read
+        # by every decoder layer's loss — the losses cast on the fly
+        masks=masks,
         valid=valid,
         # silently-truncated GT classes (distinct classes > max_gt) —
         # surfaced as the train metric 'dropped_gt' so overflow is visible

@@ -42,11 +42,18 @@ def focal_mask_cost(mask_pred: jax.Array, gt_masks: jax.Array,
     """
     nq = mask_pred.shape[0]
     p = jax.nn.sigmoid(mask_pred.astype(jnp.float32).reshape(nq, -1))
-    g = gt_masks.astype(jnp.float32).reshape(gt_masks.shape[0], -1)
+    # contraction in the prediction dtype (bf16 under the flagship recipe)
+    # with f32 accumulation — cost matrices only rank candidate pairs, and
+    # the assignment backends tolerate far larger perturbations than the
+    # ~1e-3 relative rounding this introduces
+    ct = mask_pred.dtype
+    g = gt_masks.astype(ct).reshape(gt_masks.shape[0], -1)
     n = p.shape[1]
     neg = -jnp.log1p(-p + eps) * (1 - alpha) * p ** gamma
     pos = -jnp.log(p + eps) * alpha * (1 - p) ** gamma
-    return (pos @ g.T + neg @ (1 - g).T) / n
+    return (jnp.dot(pos.astype(ct), g.T, preferred_element_type=jnp.float32)
+            + jnp.dot(neg.astype(ct), (1 - g).T,
+                      preferred_element_type=jnp.float32)) / n
 
 
 def dice_mask_cost(mask_pred: jax.Array, gt_masks: jax.Array,
@@ -54,9 +61,12 @@ def dice_mask_cost(mask_pred: jax.Array, gt_masks: jax.Array,
     """Soft-dice cost on sigmoided masks: [nq, H, W] x [G, H, W] -> [nq, G]."""
     nq = mask_pred.shape[0]
     p = jax.nn.sigmoid(mask_pred.astype(jnp.float32).reshape(nq, -1))
-    g = gt_masks.astype(jnp.float32).reshape(gt_masks.shape[0], -1)
-    num = 2 * (p @ g.T)
-    den = jnp.sum(p, 1)[:, None] + jnp.sum(g, 1)[None, :]
+    ct = mask_pred.dtype  # see focal_mask_cost on contraction precision
+    g = gt_masks.astype(ct).reshape(gt_masks.shape[0], -1)
+    num = 2 * jnp.dot(p.astype(ct), g.T,
+                      preferred_element_type=jnp.float32)
+    den = (jnp.sum(p, 1)[:, None]
+           + jnp.sum(g, 1, dtype=jnp.float32)[None, :])
     return 1.0 - (num + eps) / (den + eps)
 
 

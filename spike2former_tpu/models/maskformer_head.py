@@ -49,6 +49,7 @@ class MaskFormerHead(nn.Module):
     spike: str = "qspike"
     decoder_order: str = "ca_sa"   # 'sa_ca' = Spike2former_layers variant
     compat: bool = False
+    remat: bool = False  # checkpoint DCN encoder layers (training memory)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -76,8 +77,8 @@ class MaskFormerHead(nn.Module):
             num_encoder_layers=self.num_encoder_layers,
             feedforward_channels=self.encoder_ffn_channels,
             group=self.dcn_group, dw_kernel_size=self.dw_kernel_size,
-            spike=self.spike, compat=self.compat, dtype=self.dtype,
-            name="pixel_decoder")(feats, train)
+            spike=self.spike, compat=self.compat, remat=self.remat,
+            dtype=self.dtype, name="pixel_decoder")(feats, train)
 
         t, b = memory.shape[0], memory.shape[1]
         nq = self.num_queries

@@ -71,6 +71,7 @@ class DCNPixelDecoder(nn.Module):
     dw_kernel_size: int = 5
     spike: str = "qspike"
     compat: bool = False
+    remat: bool = False  # checkpoint each encoder layer (training memory)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -84,8 +85,10 @@ class DCNPixelDecoder(nn.Module):
         xf = ConvBN(self.feat_channels, (1, 1), use_bias=True,
                     dtype=self.dtype, name="encoder_in_proj")(xf, train)
         x = unfold_t(xf, t)
+        Layer = (nn.remat(DCNEncoderLayer, static_argnums=(2,))
+                 if self.remat else DCNEncoderLayer)
         for i in range(self.num_encoder_layers):
-            x = DCNEncoderLayer(
+            x = Layer(
                 self.feat_channels, self.feedforward_channels, self.group,
                 self.dw_kernel_size, spike=self.spike, compat=self.compat,
                 dtype=self.dtype, name=f"encoder_{i}")(x, train)

@@ -274,8 +274,10 @@ class SpikingMetaFormer(nn.Module):
         # Optional rematerialization (jax.checkpoint) per block: trades
         # recompute for activation memory during training (the AvoidCUDAOOM
         # role of mmdet/utils/memory.py, done the XLA way).
-        Conv = nn.remat(MSConvBlock) if self.remat else MSConvBlock
-        Block = nn.remat(MSBlock) if self.remat else MSBlock
+        Conv = (nn.remat(MSConvBlock, static_argnums=(2,))
+                if self.remat else MSConvBlock)
+        Block = (nn.remat(MSBlock, static_argnums=(2,))
+                 if self.remat else MSBlock)
         mae = self.variant == "sdtv3mae"
         v3 = self.variant == "sdtv3" or mae
         spike = ("multispike8" if mae
@@ -324,7 +326,7 @@ class SpikingMetaFormer(nn.Module):
         x = DownSampling(e[2], spike=spike, dtype=self.dtype,
                          name="down3")(x, train)
         if mae:
-            CSBlock = (nn.remat(MSBlockCSWin) if self.remat
+            CSBlock = (nn.remat(MSBlockCSWin, static_argnums=(2,)) if self.remat
                        else MSBlockCSWin)
             for i in range(self.depths_stage3):
                 x = CSBlock(e[2], self.num_heads, self.mlp_ratio,

@@ -58,6 +58,10 @@ class Spike2Former(nn.Module):
     # tests/test_collapse_t.py.  Disable to replay the reference's literal
     # T-times recompute (e.g. for firing-stat dumps per time step).
     collapse_t: bool = True
+    # checkpoint backbone blocks + DCN encoder layers: recompute in the
+    # backward instead of saving activations — cuts train HBM peak (admits
+    # larger per-chip batches) and most of the fwd->bwd layout-copy traffic
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -66,7 +70,7 @@ class Spike2Former(nn.Module):
             embed_dim=e, num_heads=self.backbone_heads, T=self.T,
             variant=self.variant, depths_stage3=self.depths_stage3,
             depths_stage4=self.depths_stage4, norm_eval=self.norm_eval,
-            collapse_t=self.collapse_t, dtype=self.dtype)
+            collapse_t=self.collapse_t, remat=self.remat, dtype=self.dtype)
         last_c = e[2] if self.variant == "sdtv3mae" else e[3]
         self.head = MaskFormerHead(
             in_channels=(e[0] // 2, e[0], e[1], last_c),
@@ -77,7 +81,8 @@ class Spike2Former(nn.Module):
             num_decoder_layers=self.num_decoder_layers,
             num_encoder_layers=self.num_encoder_layers,
             dcn_group=min(self.dcn_group, self.feat_channels),
-            spike="qspike", compat=self.compat, dtype=self.dtype)
+            spike="qspike", compat=self.compat, remat=self.remat,
+            dtype=self.dtype)
 
     def __call__(self, images: jax.Array, train: bool = False,
                  valid_hw: jax.Array | None = None):

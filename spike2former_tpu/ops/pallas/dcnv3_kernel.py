@@ -361,37 +361,61 @@ def dcnv3_sample_pallas_t4(
 
 def _sampling_kernel_t5(py_ref, px_ref, m_ref, feat_ref, sel_ref,
                         out_ref, row_scr, col_scr, *, num_points: int,
-                        h_in: int, w_in: int, cg: int, acc_dtype):
+                        h_in: int, w_in: int, cg: int, acc_dtype,
+                        tent: bool = False):
     """v5: all kernel points' selectors are built first (VPU), then ONE
     [CgWin, Hin] @ [Hin, P*tile] matmul samples every point — MXU runs one
     long pipeline instead of P short ones, and VPU/MXU work no longer
-    serialize per point."""
+    serialize per point.
+
+    ``tent=True`` (v6) builds each 2-tap bilinear selector as the tent
+    function ``relu(1 - |iota - p|)`` instead of two iota-compares + floor
+    / frac — the same weights ((1-f) at floor(p), f at floor(p)+1, zero
+    outside [0, size)) in ~half the VPU ops, with no int conversions."""
     feat_t = feat_ref[0, 0]            # [CgWin, Hin]
     tile = py_ref.shape[-1]
     wincg = w_in * cg
 
-    iota_u = jax.lax.broadcasted_iota(jnp.int32, (h_in, tile), 0)
-    iota_v = jax.lax.broadcasted_iota(jnp.int32, (w_in, tile), 0)
+    if tent:
+        # Mosaic's iota is integer-only; build i32 and convert once
+        fiota_u = jax.lax.broadcasted_iota(
+            jnp.int32, (h_in, tile), 0).astype(acc_dtype)
+        fiota_v = jax.lax.broadcasted_iota(
+            jnp.int32, (w_in, tile), 0).astype(acc_dtype)
 
-    def build(p, _):
-        py = py_ref[0, 0, p][None, :]
-        px = px_ref[0, 0, p][None, :]
-        m = m_ref[0, 0, p][None, :]
-        y0f = jnp.floor(py)
-        fy = (py - y0f).astype(acc_dtype)
-        y0 = y0f.astype(jnp.int32)
-        row_t = ((iota_u == y0).astype(acc_dtype) * (1.0 - fy)
-                 + (iota_u == y0 + 1).astype(acc_dtype) * fy)
-        row_scr[:, pl.dslice(p * tile, tile)] = (
-            row_t * m.astype(acc_dtype)).astype(row_scr.dtype)
-        x0f = jnp.floor(px)
-        fx = (px - x0f).astype(acc_dtype)
-        x0 = x0f.astype(jnp.int32)
-        col_scr[:, pl.dslice(p * tile, tile)] = (
-            (iota_v == x0).astype(acc_dtype) * (1.0 - fx)
-            + (iota_v == x0 + 1).astype(acc_dtype) * fx
-        ).astype(col_scr.dtype)
-        return 0
+        def build(p, _):
+            py = py_ref[0, 0, p][None, :].astype(acc_dtype)
+            px = px_ref[0, 0, p][None, :].astype(acc_dtype)
+            m = m_ref[0, 0, p][None, :].astype(acc_dtype)
+            row_t = jnp.maximum(1.0 - jnp.abs(fiota_u - py), 0.0)
+            row_scr[:, pl.dslice(p * tile, tile)] = (
+                row_t * m).astype(row_scr.dtype)
+            col_scr[:, pl.dslice(p * tile, tile)] = jnp.maximum(
+                1.0 - jnp.abs(fiota_v - px), 0.0).astype(col_scr.dtype)
+            return 0
+    else:
+        iota_u = jax.lax.broadcasted_iota(jnp.int32, (h_in, tile), 0)
+        iota_v = jax.lax.broadcasted_iota(jnp.int32, (w_in, tile), 0)
+
+        def build(p, _):
+            py = py_ref[0, 0, p][None, :]
+            px = px_ref[0, 0, p][None, :]
+            m = m_ref[0, 0, p][None, :]
+            y0f = jnp.floor(py)
+            fy = (py - y0f).astype(acc_dtype)
+            y0 = y0f.astype(jnp.int32)
+            row_t = ((iota_u == y0).astype(acc_dtype) * (1.0 - fy)
+                     + (iota_u == y0 + 1).astype(acc_dtype) * fy)
+            row_scr[:, pl.dslice(p * tile, tile)] = (
+                row_t * m.astype(acc_dtype)).astype(row_scr.dtype)
+            x0f = jnp.floor(px)
+            fx = (px - x0f).astype(acc_dtype)
+            x0 = x0f.astype(jnp.int32)
+            col_scr[:, pl.dslice(p * tile, tile)] = (
+                (iota_v == x0).astype(acc_dtype) * (1.0 - fx)
+                + (iota_v == x0 + 1).astype(acc_dtype) * fx
+            ).astype(col_scr.dtype)
+            return 0
 
     jax.lax.fori_loop(0, num_points, build, 0)
 
@@ -411,13 +435,15 @@ def _sampling_kernel_t5(py_ref, px_ref, m_ref, feat_ref, sel_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("num_points", "h_in", "w_in", "group",
-                     "group_channels"),
+                     "group_channels", "tent"),
 )
 def dcnv3_sample_pallas_t5(
     feat: jax.Array, py: jax.Array, px: jax.Array, mask: jax.Array, *,
     num_points: int, h_in: int, w_in: int, group: int, group_channels: int,
+    tent: bool = True,
 ) -> jax.Array:
-    """v5 batched-points sampler.  Returns [N, G, Cg, HoWo]."""
+    """v5 batched-points sampler (``tent=True`` = v6 selector builds).
+    Returns [N, G, Cg, HoWo]."""
     n, g = feat.shape[0], feat.shape[1]
     hw_out = py.shape[-1]
     cg = group_channels
@@ -448,7 +474,7 @@ def dcnv3_sample_pallas_t5(
 
     kernel = functools.partial(
         _sampling_kernel_t5, num_points=num_points, h_in=h_in, w_in=w_in,
-        cg=cg, acc_dtype=jnp.float32)
+        cg=cg, acc_dtype=jnp.float32, tent=tent)
 
     coord_spec = pl.BlockSpec((1, 1, num_points, tile),
                               lambda i, j, o: (i, j, 0, o),
@@ -613,10 +639,17 @@ def dcnv3_sample_pallas_tg(
 def _sampling_kernel_t5_bwd(py_ref, px_ref, m_ref, feat_ref, sel_ref,
                             dout_ref, dfeat_ref, dpy_ref, dpx_ref, dm_ref,
                             row_scr, col_scr, *, num_points: int,
-                            h_in: int, w_in: int, cg: int, acc_dtype):
+                            h_in: int, w_in: int, cg: int, acc_dtype,
+                            tent: bool = False):
     """v5-style backward: selectors built once into scratch, then THREE
     batched matmuls (g_all, dfeat, drow_all) instead of 5 per point.
     Layout: feat rows j = c*Win + v (v-fastest), same as the v5 forward.
+
+    ``tent=True`` builds selector VALUES as ``relu(1 - |iota - p|)`` (see
+    the forward); the coordinate-gradient terms keep the compare-based
+    s0/s1 taps so dpy/dpx at exactly-integer coordinates stay identical to
+    grid_sample's floor-based subgradient (offsets are zero at init, which
+    lands every coordinate on an integer — the one place it matters).
     """
     feat_t = feat_ref[0, 0]            # [CgWin, Hin]
     tile = py_ref.shape[-1]
@@ -631,58 +664,83 @@ def _sampling_kernel_t5_bwd(py_ref, px_ref, m_ref, feat_ref, sel_ref,
     iota_u = jax.lax.broadcasted_iota(jnp.int32, (h_in, tile), 0)
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (w_in, tile), 0)
 
-    def build(p, _):
-        py = py_ref[0, 0, p][None, :]
-        px = px_ref[0, 0, p][None, :]
-        m = m_ref[0, 0, p][None, :]
-        y0f = jnp.floor(py)
-        fy = (py - y0f).astype(acc_dtype)
-        y0 = y0f.astype(jnp.int32)
-        row_t = ((iota_u == y0).astype(acc_dtype) * (1.0 - fy)
-                 + (iota_u == y0 + 1).astype(acc_dtype) * fy)
-        row_scr[:, pl.dslice(p * tile, tile)] = (
-            row_t * m.astype(acc_dtype)).astype(row_scr.dtype)
-        x0f = jnp.floor(px)
-        fx = (px - x0f).astype(acc_dtype)
-        x0 = x0f.astype(jnp.int32)
-        col_scr[:, pl.dslice(p * tile, tile)] = (
-            (iota_v == x0).astype(acc_dtype) * (1.0 - fx)
-            + (iota_v == x0 + 1).astype(acc_dtype) * fx
-        ).astype(col_scr.dtype)
-        return 0
+    if tent:
+        # Mosaic's iota is integer-only; build i32 and convert once
+        fiota_u = jax.lax.broadcasted_iota(
+            jnp.int32, (h_in, tile), 0).astype(acc_dtype)
+        fiota_v = jax.lax.broadcasted_iota(
+            jnp.int32, (w_in, tile), 0).astype(acc_dtype)
+
+        def build(p, _):
+            py = py_ref[0, 0, p][None, :].astype(acc_dtype)
+            px = px_ref[0, 0, p][None, :].astype(acc_dtype)
+            m = m_ref[0, 0, p][None, :].astype(acc_dtype)
+            row_t = jnp.maximum(1.0 - jnp.abs(fiota_u - py), 0.0)
+            row_scr[:, pl.dslice(p * tile, tile)] = (
+                row_t * m).astype(row_scr.dtype)
+            col_scr[:, pl.dslice(p * tile, tile)] = jnp.maximum(
+                1.0 - jnp.abs(fiota_v - px), 0.0).astype(col_scr.dtype)
+            return 0
+    else:
+        def build(p, _):
+            py = py_ref[0, 0, p][None, :]
+            px = px_ref[0, 0, p][None, :]
+            m = m_ref[0, 0, p][None, :]
+            y0f = jnp.floor(py)
+            fy = (py - y0f).astype(acc_dtype)
+            y0 = y0f.astype(jnp.int32)
+            row_t = ((iota_u == y0).astype(acc_dtype) * (1.0 - fy)
+                     + (iota_u == y0 + 1).astype(acc_dtype) * fy)
+            row_scr[:, pl.dslice(p * tile, tile)] = (
+                row_t * m.astype(acc_dtype)).astype(row_scr.dtype)
+            x0f = jnp.floor(px)
+            fx = (px - x0f).astype(acc_dtype)
+            x0 = x0f.astype(jnp.int32)
+            col_scr[:, pl.dslice(p * tile, tile)] = (
+                (iota_v == x0).astype(acc_dtype) * (1.0 - fx)
+                + (iota_v == x0 + 1).astype(acc_dtype) * fx
+            ).astype(col_scr.dtype)
+            return 0
 
     jax.lax.fori_loop(0, num_points, build, 0)
 
-    # upstream gradient expanded to the (c, v) lattice, tiled per point
+    # upstream gradient expanded to the (c, v) lattice, tiled per point.
+    # Every [CgWin, P*tile] intermediate lives in the FEATURE dtype (bf16
+    # under the flagship recipe, f32 in the CPU parity tests): halves the
+    # dominant VMEM/VPU traffic, doubles the token tile the VMEM budget
+    # admits, and keeps the two large contractions in the MXU's native
+    # bf16-operand + f32-accumulate mode (an f32xf32 matmul costs several
+    # MXU passes).  Gradient precision matches every other bf16-backward
+    # matmul in the model.
+    lo = feat_t.dtype
     dout = dout_ref[0, 0].astype(acc_dtype)           # [Cg, tile]
     d_t = jax.lax.dot_general(
         sel_ref[:, :].astype(acc_dtype), dout,
         dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=acc_dtype)             # [CgWin, tile]
+        preferred_element_type=acc_dtype).astype(lo)  # [CgWin, tile]
     d_rep = pltpu.repeat(d_t, num_points, axis=1)     # [CgWin, P*tile]
 
-    cexp_all = pltpu.repeat(
-        col_scr[:, :].astype(acc_dtype), cg, axis=0)  # [CgWin, P*tile]
-    g_all = jnp.dot(feat_t, row_scr[:, :].astype(feat_t.dtype),
-                    preferred_element_type=acc_dtype)  # [CgWin, P*tile]
+    cexp_all = pltpu.repeat(col_scr[:, :], cg, axis=0)
+    g_all = jnp.dot(feat_t, row_scr[:, :],
+                    preferred_element_type=acc_dtype).astype(lo)
 
     dg_all = d_rep * cexp_all
     dcexp_all = d_rep * g_all
 
     # feature gradient: dF += dg_all @ row_all^T (K = P*tile — efficient)
     dfeat_ref[0, 0] = dfeat_ref[0, 0] + jax.lax.dot_general(
-        dg_all, row_scr[:, :].astype(acc_dtype),
+        dg_all, row_scr[:, :],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=acc_dtype).astype(dfeat_ref.dtype)
 
     # row gradients for every point in one matmul: [Hin, P*tile]
     drow_all = jax.lax.dot_general(
-        feat_t.astype(acc_dtype), dg_all,
+        feat_t, dg_all,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=acc_dtype)
 
     # col gradients: sum dcexp over the cg channel blocks (rows j=c*Win+v)
-    dcol_all = dcexp_all[:w_in, :]
+    dcol_all = dcexp_all[:w_in, :].astype(acc_dtype)
     for k in range(1, cg):
         dcol_all = dcol_all + dcexp_all[k * w_in:(k + 1) * w_in, :]
 
@@ -710,10 +768,11 @@ def _sampling_kernel_t5_bwd(py_ref, px_ref, m_ref, feat_ref, sel_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("num_points", "h_in", "w_in", "group",
-                     "group_channels"),
+                     "group_channels", "tent"),
 )
 def dcnv3_sample_pallas_t5_bwd(feat, py, px, mask, dout, *, num_points,
-                               h_in, w_in, group, group_channels):
+                               h_in, w_in, group, group_channels,
+                               tent=True):
     """Backward of ``dcnv3_sample_pallas_t5``.  Same I/O contract as the
     v2 backward: feat [N,G,Hin,Win*Cg] (v-major caller layout),
     dout [N,G,Cg,HoWo]; returns (dfeat in caller layout, dpy, dpx, dmask).
@@ -723,12 +782,15 @@ def dcnv3_sample_pallas_t5_bwd(feat, py, px, mask, dout, *, num_points,
     cg = group_channels
     wincg = w_in * cg
 
-    budget = 6 * 1024 * 1024
+    budget = 13 * 1024 * 1024
     tile = hw_out
 
     def vmem(t):
-        return (2 * h_in * num_points * t * feat.dtype.itemsize
-                + 4 * wincg * num_points * t * 4)
+        # row/col scratch + ~5 live [CgWin, P*t] intermediates, all in the
+        # feature dtype (see the kernel)
+        it = feat.dtype.itemsize
+        return (2 * h_in * num_points * t * it
+                + 5 * wincg * num_points * t * it)
 
     while vmem(tile) > budget and tile % 2 == 0:
         tile //= 2
@@ -743,7 +805,7 @@ def dcnv3_sample_pallas_t5_bwd(feat, py, px, mask, dout, *, num_points,
 
     kernel = functools.partial(
         _sampling_kernel_t5_bwd, num_points=num_points, h_in=h_in,
-        w_in=w_in, cg=cg, acc_dtype=jnp.float32)
+        w_in=w_in, cg=cg, acc_dtype=jnp.float32, tent=tent)
 
     coord_spec = pl.BlockSpec((1, 1, num_points, tile),
                               lambda i, j, o: (i, j, 0, o),
