@@ -168,14 +168,17 @@ def make_train_step_panoptic(model: Spike2Former,
     identity, stuff is one segment per class (preprocess_panoptic_gt
     semantics).  The loss/matching pipeline is shared with the semantic
     path."""
-    from ..losses.criterion import GroundTruth
+    from ..losses.criterion import GroundTruth, slot_map_from_masks
 
     def loss_fn(params, batch_stats, images, labels, masks, valid):
         x = preprocess(images)
         (cls_scores, mask_preds), updates = model.apply(
             {"params": params, "batch_stats": batch_stats}, x, True,
             mutable=["batch_stats"])
-        gt = GroundTruth(labels, masks.astype(jnp.bool_), valid)
+        # panoptic segments are disjoint by construction (id-PNG source),
+        # so the compact slot-map form applies (see criterion docstring)
+        gt = GroundTruth(labels, None, valid,
+                         slot_map=slot_map_from_masks(masks, valid))
         losses = maskformer_loss(
             cls_scores, mask_preds, gt, num_classes=num_classes,
             matcher=matcher, loss_at=loss_at)

@@ -13,8 +13,15 @@ Reference: mmdet/models/dense_heads/maskformer_head.py —
   (``reduce_mean``, :459) — here a global batch mean that XLA turns into a
   collective under a sharded jit.
 
-TPU design: GT is padded to a static ``max_gt`` instances per image
-(labels [B, G], masks [B, G, H, W], valid [B, G]) so every shape is static.
+TPU design: GT is padded to a static ``max_gt`` instances per image.  When
+the per-slot masks are DISJOINT (always true for semantic and panoptic
+targets) the ground truth is carried as a compact ``slot_map`` [B, H, W]
+int32 (pixel -> slot index, G = no slot) instead of dense [B, G, H, W]
+masks: per-slot binary targets become iota-compares that fuse into the
+loss elementwise code, which removes gigabytes of materialized mask
+buffers from the train step (the dense f32 stack plus its layout copies
+dominated the round-2 step).  Dense masks remain supported for arbitrary
+(possibly overlapping) instance targets.
 """
 from __future__ import annotations
 
@@ -30,26 +37,57 @@ from .matcher import auction_match, hungarian_host, match_costs
 
 
 class GroundTruth(NamedTuple):
-    """Padded mask-classification targets."""
+    """Padded mask-classification targets.
+
+    Either ``masks`` (dense [B, G, H, W] {0,1}; bool preferred) or
+    ``slot_map`` ([B, H, W] int32 pixel->slot, G = unassigned; requires
+    disjoint per-slot masks) must be set.  ``slot_map`` is the fast path.
+    """
 
     labels: jax.Array  # [B, G] int32 (class id; arbitrary where invalid)
-    masks: jax.Array   # [B, G, H, W] {0,1} — bool preferred (4x less HBM
-    #                    than f32; every consumer casts at the point of use)
+    masks: jax.Array | None  # [B, G, H, W] {0,1} or None (slot mode)
     valid: jax.Array   # [B, G] bool
     # classes present in the image but dropped because more than G were
     # present (top-k overflow); None when the producer can't overflow
     dropped: jax.Array | None = None  # [B] int32
+    slot_map: jax.Array | None = None  # [B, H, W] int32 in [0, G]
+
+    def dense_masks(self) -> jax.Array:
+        """Dense bool masks [B, G, H, W] (derived in slot mode)."""
+        if self.masks is not None:
+            return self.masks
+        g = self.labels.shape[1]
+        slots = jnp.arange(g, dtype=jnp.int32)
+        return self.slot_map[:, None] == slots[None, :, None, None]
+
+    @property
+    def gt_hw(self) -> tuple[int, int]:
+        src = self.masks if self.masks is not None else self.slot_map
+        return src.shape[-2], src.shape[-1]
+
+
+def slot_map_from_masks(masks: jax.Array, valid: jax.Array) -> jax.Array:
+    """[B, G, H, W] disjoint {0,1} masks -> [B, H, W] slot map (G = none).
+
+    Exact when masks are disjoint (semantic / panoptic GT by construction).
+    """
+    b, g = masks.shape[:2]
+    m = masks.astype(bool) & valid[:, :, None, None]
+    hit = jnp.any(m, axis=1)
+    first = jnp.argmax(m, axis=1).astype(jnp.int32)
+    return jnp.where(hit, first, g)
 
 
 def semantic_to_instances(sem_seg: jax.Array, num_classes: int,
                           max_gt: int, ignore_index: int = 255
                           ) -> GroundTruth:
-    """Per-class binary masks from a semantic map (the mmseg shim's
+    """Per-class binary targets from a semantic map (the mmseg shim's
     ``_seg_data_to_instance_data``, mmseg maskformer_head.py:84-105), with
     static shapes: the present class ids are compacted into ``max_gt``
     slots via top-k, so ``max_gt`` only needs to cover the number of
     *distinct classes per image* (<= ~50 on ADE20K crops), not the class
-    vocabulary.
+    vocabulary.  Targets are emitted as a compact ``slot_map`` (slots are
+    disjoint by construction), not dense masks.
 
     sem_seg: [B, H, W] int.
     """
@@ -66,19 +104,28 @@ def semantic_to_instances(sem_seg: jax.Array, num_classes: int,
     _, sel = jax.lax.top_k(score, k)  # [B, k] class ids (present first)
     sel = sel.astype(jnp.int32)
     valid = jnp.take_along_axis(present, sel, axis=1)
-    masks = (sem_seg[:, None, :, :] == sel[:, :, None, None])
+
+    # inverse table class -> slot (k = no slot); rows: 0..K-1 real classes,
+    # row K collects the ignore label (and absent classes stay at k)
+    col = jnp.where(valid, sel, num_classes + 1)  # invalid -> dropped
+    slot_of_class = jnp.full((b, num_classes + 1), k, jnp.int32).at[
+        jnp.arange(b)[:, None], col
+    ].set(jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None], (b, k)),
+          mode="drop")
+    sem_c = jnp.minimum(sem_seg.astype(jnp.int32), num_classes)
+    slot_map = jnp.take_along_axis(
+        slot_of_class, sem_c.reshape(b, -1), axis=1).reshape(b, h, w)
+
     n_present = jnp.sum(present, axis=1, dtype=jnp.int32)
     n_kept = jnp.sum(valid, axis=1, dtype=jnp.int32)
     return GroundTruth(
         labels=sel,
-        # bool, not f32: [B, G, H, W] is the largest loss-side buffer
-        # (268 MB/image-batch at the flagship recipe in f32) and is re-read
-        # by every decoder layer's loss — the losses cast on the fly
-        masks=masks,
+        masks=None,
         valid=valid,
         # silently-truncated GT classes (distinct classes > max_gt) —
         # surfaced as the train metric 'dropped_gt' so overflow is visible
         dropped=n_present - n_kept,
+        slot_map=slot_map,
     )
 
 
@@ -103,8 +150,90 @@ def classification_targets(matched_q: jax.Array, gt_labels: jax.Array,
     ].set(gt_labels.astype(jnp.int32), mode="drop")
 
 
+def _focal_terms(pred: jax.Array, target: jax.Array,
+                 gamma: float = 2.0, alpha: float = 0.25) -> jax.Array:
+    """Per-pixel sigmoid focal loss (losses.sigmoid_focal_loss body,
+    py_sigmoid_focal_loss focal_loss.py:12-60) — pred f32 logits,
+    target f32 {0,1}."""
+    p = jax.nn.sigmoid(pred)
+    pt = (1.0 - p) * target + p * (1.0 - target)
+    focal_w = (alpha * target
+               + (1.0 - alpha) * (1.0 - target)) * pt ** gamma
+    bce = (jnp.maximum(pred, 0) - pred * target
+           + jnp.log1p(jnp.exp(-jnp.abs(pred))))
+    return bce * focal_w
+
+
+def _gt_phase_losses(pred_s: jax.Array, slot_map: jax.Array,
+                     pair_w: jax.Array, num_total_masks) -> tuple:
+    """Mask losses at GT resolution for the exact 2x case, WITHOUT
+    materializing the upsampled stack.
+
+    The reference upsamples predictions bilinearly to GT resolution and
+    evaluates focal+dice there (maskformer_head.py:475-494).  For the 2x
+    half-pixel upsample every output pixel belongs to one of four
+    polyphase grids whose values are fixed 2-tap lerps of the source
+    (weights 3/4 and 1/4, edge-clamped — identical to
+    ``jax.image.resize(method='linear')`` / torch align_corners=False):
+
+        even index 2k -> 0.25*x[k-1] + 0.75*x[k]
+        odd  index 2k+1 -> 0.75*x[k] + 0.25*x[k+1]
+
+    Each phase's loss terms are elementwise in source-resolution tensors
+    and reduce immediately, so the [B, G, 2h, 2w] f32 buffers (and their
+    backward copies) never exist.  Targets come from the slot map's
+    matching phase grid as fused iota-compares.
+
+    pred_s: [B, G, h, w] logits (matched per-GT predictions);
+    slot_map: [B, 2h, 2w] int32.  Returns (loss_dice, loss_focal) scalars
+    equal (to float rounding) to the dense upsample path.
+    """
+    b, g, h, w = pred_s.shape
+    x = pred_s.astype(jnp.float32)
+    slots = jnp.arange(g, dtype=jnp.int32)
+
+    def shifts(v, axis):
+        lead = jax.lax.slice_in_dim(v, 0, 1, axis=axis)
+        tail = jax.lax.slice_in_dim(v, v.shape[axis] - 1, v.shape[axis],
+                                    axis=axis)
+        prev = jnp.concatenate(
+            [lead, jax.lax.slice_in_dim(v, 0, v.shape[axis] - 1,
+                                        axis=axis)], axis=axis)
+        nxt = jnp.concatenate(
+            [jax.lax.slice_in_dim(v, 1, v.shape[axis], axis=axis), tail],
+            axis=axis)
+        return prev, nxt
+
+    xm, xp = shifts(x, 2)
+    rows = (0.25 * xm + 0.75 * x, 0.75 * x + 0.25 * xp)
+
+    a = jnp.zeros((b, g), jnp.float32)
+    sp = jnp.zeros((b, g), jnp.float32)
+    st = jnp.zeros((b, g), jnp.float32)
+    focal = jnp.zeros((b, g), jnp.float32)
+    for ar, r in enumerate(rows):
+        rm, rp = shifts(r, 3)
+        cols = (0.25 * rm + 0.75 * r, 0.75 * r + 0.25 * rp)
+        for ac, ph in enumerate(cols):
+            t = (slot_map[:, ar::2, ac::2][:, None]
+                 == slots[None, :, None, None])
+            tf = t.astype(jnp.float32)
+            p = jax.nn.sigmoid(ph)
+            a = a + jnp.sum(p * tf, axis=(2, 3))
+            sp = sp + jnp.sum(p, axis=(2, 3))
+            st = st + jnp.sum(tf, axis=(2, 3))
+            focal = focal + jnp.sum(_focal_terms(ph, tf), axis=(2, 3))
+
+    eps = 1.0
+    d = 1.0 - (2 * a + eps) / (sp + st + eps)
+    nt = jnp.maximum(num_total_masks, 1e-12)
+    loss_dice = jnp.sum(d * pair_w) / nt
+    loss_focal = jnp.sum(focal * pair_w) / (nt * (2 * h) * (2 * w))
+    return loss_dice, loss_focal
+
+
 def _layer_loss(cls_scores, mask_preds, matched_q, gt: GroundTruth,
-                gt_ds, *,
+                gt_ds, slot_ds, *,
                 num_classes: int, class_weight,
                 focal_weight: float, dice_weight: float,
                 num_total_masks, loss_at: str = "pred"
@@ -112,12 +241,12 @@ def _layer_loss(cls_scores, mask_preds, matched_q, gt: GroundTruth,
     """Loss for one decoder layer, given its (precomputed) assignment.
 
     cls_scores [B, nq, K+1]; mask_preds [B, nq, h, w] (mask resolution);
-    matched_q [B, G] (query per GT column, -1 = unmatched); gt masks at
-    full GT resolution [B, G, H, W]; gt_ds the nearest-downsampled GT at
-    mask resolution.
+    matched_q [B, G] (query per GT column, -1 = unmatched); gt_ds / slot_ds
+    the nearest-downsampled targets at mask resolution (dense / slot form —
+    exactly one is not None).
 
     ``loss_at='gt'`` reproduces the reference exactly (predictions
-    bilinearly upsampled to GT resolution, :475-479); ``'pred'`` (default)
+    bilinearly upsampled to GT resolution, :475-479); ``'pred'``
     computes mask losses at prediction resolution with nearest-downsampled
     GT — numerically near-identical gradients at ~4x less HBM, the same
     trade Mask2Former makes with point sampling.
@@ -125,7 +254,7 @@ def _layer_loss(cls_scores, mask_preds, matched_q, gt: GroundTruth,
     b, nq = cls_scores.shape[:2]
     g = gt.labels.shape[1]
     h, w = mask_preds.shape[-2:]
-    gh, gw = gt.masks.shape[-2:]
+    gh, gw = gt.gt_hw
 
     # ---- classification targets ----
     labels = classification_targets(matched_q, gt.labels, nq, num_classes)
@@ -139,14 +268,30 @@ def _layer_loss(cls_scores, mask_preds, matched_q, gt: GroundTruth,
         lambda mp, q: mp[q])(mask_preds, safe_q)  # [B, G, h, w]
     pair_w = (gt.valid & (matched_q >= 0)).astype(jnp.float32)  # [B, G]
 
+    if (loss_at == "gt" and slot_ds is not None
+            and (gh, gw) == (2 * h, 2 * w)):
+        # phase-decomposed exact path: no [B, G, gh, gw] buffers
+        loss_dice, loss_focal = _gt_phase_losses(
+            pred_at_gt, gt.slot_map, pair_w, num_total_masks)
+        return dict(loss_cls=loss_cls,
+                    loss_mask=loss_focal * focal_weight,
+                    loss_dice=loss_dice * dice_weight)
+
+    slots = jnp.arange(g, dtype=jnp.int32)
     if loss_at == "gt":
         pred_m = resize_bilinear(
             pred_at_gt[..., None], (gh, gw))[..., 0]  # [B, G, gh, gw]
-        tgt_m = gt.masks
+        if slot_ds is not None:
+            tgt_m = (gt.slot_map[:, None] == slots[None, :, None, None])
+        else:
+            tgt_m = gt.masks
         lh, lw = gh, gw
     else:
         pred_m = pred_at_gt
-        tgt_m = gt_ds
+        if slot_ds is not None:
+            tgt_m = (slot_ds[:, None] == slots[None, :, None, None])
+        else:
+            tgt_m = gt_ds
         lh, lw = h, w
 
     loss_dice = dice_loss(
@@ -204,20 +349,40 @@ def maskformer_loss(
     g = gt.labels.shape[1]
     h, w = all_mask_preds.shape[-2:]
 
+    # ---- downsampled targets at mask resolution ----
+    slot_mode = gt.masks is None
+    if slot_mode:
+        slot_ds = resize_nearest_torch(
+            gt.slot_map[..., None], (h, w))[..., 0]  # [B, h, w] int32
+        slots = jnp.arange(g, dtype=jnp.int32)
+        gt_cost = (slot_ds[:, None] == slots[None, :, None, None]).astype(
+            all_mask_preds.dtype)
+        gt_ds = None
+    else:
+        slot_ds = None
+        gt_ds = resize_nearest_torch(gt.masks[..., None], (h, w))[..., 0]
+        gt_cost = gt_ds
+
     # ---- matching, ALL layers in one assignment call ----
     # Every decoder layer is matched independently (the reference's
     # multi_apply over layers, :391-393), so the L per-layer problems fold
     # into one batch of L*B cost matrices.  This matters on TPU: the
     # auction is a sequential while-loop whose latency is iterations x
     # dispatch — batching layers divides that latency by L instead of
-    # paying it once per layer inside the scan (the round-2 design).
-    gt_ds = resize_nearest_torch(gt.masks[..., None], (h, w))[..., 0]
-    cost_fn = jax.vmap(jax.vmap(functools.partial(
-        match_costs, focal_weight=focal_weight, dice_weight=dice_weight)),
-        in_axes=(0, 0, None, None, None))
-    costs = cost_fn(all_cls_scores, all_mask_preds, gt.labels, gt_ds,
-                    gt.valid)  # [L, B, nq, G]
-    costs = jax.lax.stop_gradient(costs).reshape(num_layers * b, -1, g)
+    # paying it once per layer inside the scan.  The cost MATRICES are
+    # computed in a scan over layers (not one L-stacked vmap): the f32
+    # sigmoid/pos/neg intermediates then live one layer at a time.
+    cost_fn = jax.vmap(functools.partial(
+        match_costs, focal_weight=focal_weight, dice_weight=dice_weight))
+
+    def cost_body(_, cm):
+        cls_l, mask_l = cm
+        c = cost_fn(cls_l, mask_l, gt.labels, gt_cost, gt.valid)
+        return None, jax.lax.stop_gradient(c)
+
+    _, costs = jax.lax.scan(
+        cost_body, None, (all_cls_scores, all_mask_preds))  # [L, B, nq, G]
+    costs = costs.reshape(num_layers * b, -1, g)
     if matcher == "host":
         all_matched = hungarian_host(costs)  # one host round-trip, not L
     else:
@@ -226,18 +391,16 @@ def maskformer_loss(
     all_matched = jnp.where(gt.valid[None], all_matched, -1)
 
     layer_fn = functools.partial(
-        _layer_loss, gt=gt, gt_ds=gt_ds, num_classes=num_classes,
-        class_weight=class_weight,
+        _layer_loss, gt=gt, gt_ds=gt_ds, slot_ds=slot_ds,
+        num_classes=num_classes, class_weight=class_weight,
         focal_weight=focal_weight, dice_weight=dice_weight,
         num_total_masks=num_total, loss_at=loss_at)
 
     # One scan over decoder layers: the loss body is traced and compiled
     # ONCE instead of L times.  The body is rematerialized: without
     # jax.checkpoint, autodiff saves every layer's loss intermediates —
-    # at loss_at='gt' that is L stacked [B, G, H, W] f32 upsampled-mask
-    # buffers (1.75 GB EACH at the flagship recipe), which blows HBM at
-    # B=4; recomputing the cheap upsample+loss math in the backward pass
-    # keeps one layer's buffers live at a time.
+    # recomputing the cheap loss math in the backward pass keeps one
+    # layer's buffers live at a time.
     layer_fn_ckpt = jax.checkpoint(layer_fn)
 
     def body(_, inputs):

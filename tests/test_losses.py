@@ -111,7 +111,81 @@ def test_semantic_to_instances():
     present = sorted(labels[valid])
     assert present == [2, 7] and valid.sum() == 2
     slot2 = int(np.where(labels == 2)[0][0])
-    np.testing.assert_allclose(np.asarray(gt.masks[0, slot2]).sum(), 32)
+    np.testing.assert_allclose(
+        np.asarray(gt.dense_masks()[0, slot2]).sum(), 32)
+    # ignore pixels (255) belong to no slot
+    assert np.asarray(gt.dense_masks()[0]).sum(0).max() <= 1
+
+
+def test_slot_mode_matches_dense_mode():
+    """The compact slot-map GT form must produce the same losses as dense
+    masks whenever the masks are disjoint (the semantic/panoptic case)."""
+    from spike2former_tpu.losses.criterion import slot_map_from_masks
+
+    rng = np.random.default_rng(12)
+    b, nq, g, hw = 2, 10, 5, 16
+    cls = rng.normal(size=(b, nq, 7)).astype(np.float32)
+    masks = rng.normal(size=(b, nq, hw, hw)).astype(np.float32)
+    # disjoint masks from a random slot map (slot g = unassigned)
+    smap = rng.integers(0, g + 1, size=(b, 2 * hw, 2 * hw)).astype(np.int32)
+    dense = (smap[:, None] == np.arange(g)[None, :, None, None])
+    valid = np.ones((b, g), bool)
+    valid[:, 4:] = False
+    # invalid slots must be empty in BOTH forms for equivalence
+    dense[:, 4:] = False
+    smap = np.where((smap >= 4), g, smap)
+    labels = rng.integers(0, 6, (b, g)).astype(np.int32)
+
+    gt_dense = GroundTruth(jnp.asarray(labels), jnp.asarray(dense),
+                           jnp.asarray(valid))
+    gt_slot = GroundTruth(jnp.asarray(labels), None, jnp.asarray(valid),
+                          slot_map=jnp.asarray(smap))
+    np.testing.assert_array_equal(
+        np.asarray(slot_map_from_masks(gt_dense.masks, gt_dense.valid)),
+        np.asarray(gt_slot.slot_map))
+
+    for mode in ("pred", "gt"):
+        ld = maskformer_loss(jnp.asarray(cls)[None],
+                             jnp.asarray(masks)[None], gt_dense,
+                             num_classes=6, matcher="auction",
+                             loss_at=mode)
+        ls = maskformer_loss(jnp.asarray(cls)[None],
+                             jnp.asarray(masks)[None], gt_slot,
+                             num_classes=6, matcher="auction",
+                             loss_at=mode)
+        for k in ("loss_cls", "loss_mask", "loss_dice"):
+            np.testing.assert_allclose(
+                float(ls[k]), float(ld[k]), rtol=2e-5, atol=1e-6,
+                err_msg=f"{mode}/{k}")
+
+
+def test_gt_phase_path_matches_dense_upsample():
+    """The polyphase GT-resolution loss (exact 2x case, no upsampled
+    buffers) must equal the dense resize_bilinear path to float rounding."""
+    rng = np.random.default_rng(13)
+    b, g, h, w = 2, 4, 8, 12
+    pred = jnp.asarray(rng.normal(size=(b, g, h, w)), jnp.float32)
+    smap = jnp.asarray(
+        rng.integers(0, g + 1, size=(b, 2 * h, 2 * w)), jnp.int32)
+    pair_w = jnp.asarray(rng.uniform(0, 1, (b, g)) > 0.3, jnp.float32)
+
+    from spike2former_tpu.losses.criterion import _gt_phase_losses
+    from spike2former_tpu.losses.losses import dice_loss, sigmoid_focal_loss
+    from spike2former_tpu.ops.resize import resize_bilinear
+
+    nt = 5.0
+    d_ph, f_ph = _gt_phase_losses(pred, smap, pair_w, nt)
+
+    up = resize_bilinear(pred[..., None], (2 * h, 2 * w))[..., 0]
+    tgt = (smap[:, None] == jnp.arange(g)[None, :, None, None])
+    d_ref = dice_loss(up.reshape(b * g, 2 * h, 2 * w),
+                      tgt.reshape(b * g, 2 * h, 2 * w),
+                      weight=pair_w.reshape(-1), eps=1.0, naive=True,
+                      activate=True, avg_factor=nt)
+    f_ref = sigmoid_focal_loss(up, tgt, weight=pair_w[..., None, None],
+                               avg_factor=nt * 2 * h * 2 * w)
+    np.testing.assert_allclose(float(d_ph), float(d_ref), rtol=1e-5)
+    np.testing.assert_allclose(float(f_ph), float(f_ref), rtol=1e-5)
 
 
 def test_classification_targets_query0_not_clobbered():

@@ -166,7 +166,7 @@ def main():
         gt = semantic_to_instances(sem, num_classes, 64)
         from spike2former_tpu.ops.resize import resize_nearest_torch
         gtm = resize_nearest_torch(
-            gt.masks[..., None], masks[-1].shape[-2:])[..., 0]
+            gt.dense_masks()[..., None], masks[-1].shape[-2:])[..., 0]
         cost = jax.vmap(functools.partial(match_costs))(
             cls[-1], masks[-1], gt.labels, gtm, gt.valid)
         return auction_match(cost)
