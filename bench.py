@@ -25,7 +25,35 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 CPU_REF_IMG_PER_SEC = 0.030
 
 
+def _wait_for_backend(attempts: int = 6, probe_timeout: int = 300) -> None:
+    """Block until the TPU backend initializes in a probe subprocess.
+
+    The axon backend can be transiently unavailable (observed: init hangs
+    ~35 min then raises UNAVAILABLE).  Probing in a killable subprocess
+    with retries gives the tunnel a bounded window to recover instead of
+    hanging this process inside backend init.
+    """
+    import subprocess
+
+    for attempt in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok')"],
+                timeout=probe_timeout, capture_output=True, text=True)
+            if r.returncode == 0 and "ok" in r.stdout:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"bench: TPU backend unavailable (probe {attempt + 1}/"
+              f"{attempts}); retrying in 60s", file=sys.stderr, flush=True)
+        time.sleep(60)
+    print("bench: TPU backend did not come up; aborting", file=sys.stderr)
+    raise SystemExit(2)
+
+
 def main():
+    _wait_for_backend()
     import jax
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -63,6 +63,10 @@ class TrainConfig:
     val_interval: int = 2500
     checkpoint_interval: int = 10_000
     max_gt: int = 64
+    # EXACT loss fast path: run matching/losses with the GT axis truncated
+    # to this many slots, lax.cond-ing into full max_gt width on overflow
+    # (see losses.criterion.maskformer_loss).  0 disables.
+    compact_gt: int = 32
     matcher: str = "auction"          # 'auction' (on-device) | 'host' (scipy)
     # Mask-loss resolution: 'gt' upsamples mask logits to GT resolution
     # before CE/dice/focal — the reference recipe exactly

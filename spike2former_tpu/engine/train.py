@@ -43,7 +43,7 @@ def init_state(model: Spike2Former, tx: optax.GradientTransformation,
 def make_train_step(model: Spike2Former, tx: optax.GradientTransformation,
                     num_classes: int, max_gt: int = 64,
                     matcher: str = "auction", loss_at: str = "gt",
-                    accum_steps: int = 1):
+                    accum_steps: int = 1, compact_gt: int = 32):
     """Returns ``train_step(state, images_u8, sem_seg) -> (state, metrics)``.
 
     images_u8: [B, H, W, 3] RGB; sem_seg: [B, H, W] int32 class map with 255
@@ -64,7 +64,8 @@ def make_train_step(model: Spike2Former, tx: optax.GradientTransformation,
         gt = semantic_to_instances(sem_seg, num_classes, max_gt)
         losses = maskformer_loss(
             cls_scores, mask_preds, gt, num_classes=num_classes,
-            matcher=matcher, loss_at=loss_at)
+            matcher=matcher, loss_at=loss_at,
+            compact_gt=compact_gt or None)
         losses["dropped_gt"] = gt.dropped.sum().astype(jnp.float32)
         return losses["total"], (losses, updates["batch_stats"])
 
@@ -161,7 +162,7 @@ def make_train_step_fpn(model, tx: optax.GradientTransformation,
 def make_train_step_panoptic(model: Spike2Former,
                              tx: optax.GradientTransformation,
                              num_classes: int, matcher: str = "auction",
-                             loss_at: str = "gt"):
+                             loss_at: str = "gt", compact_gt: int = 32):
     """Panoptic training step: GT arrives as padded instance targets
     (labels [B, G], masks [B, G, H, W], valid [B, G]) built by
     ``data.panoptic.panoptic_train_batches`` — things keep instance
@@ -181,7 +182,8 @@ def make_train_step_panoptic(model: Spike2Former,
                          slot_map=slot_map_from_masks(masks, valid))
         losses = maskformer_loss(
             cls_scores, mask_preds, gt, num_classes=num_classes,
-            matcher=matcher, loss_at=loss_at)
+            matcher=matcher, loss_at=loss_at,
+            compact_gt=compact_gt or None)
         return losses["total"], (losses, updates["batch_stats"])
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

@@ -166,29 +166,32 @@ def _focal_terms(pred: jax.Array, target: jax.Array,
 
 def _gt_phase_losses(pred_s: jax.Array, slot_map: jax.Array,
                      pair_w: jax.Array, num_total_masks) -> tuple:
-    """Mask losses at GT resolution for the exact 2x case, WITHOUT
+    """Mask losses at GT resolution for an exact integer upscale, WITHOUT
     materializing the upsampled stack.
 
     The reference upsamples predictions bilinearly to GT resolution and
-    evaluates focal+dice there (maskformer_head.py:475-494).  For the 2x
-    half-pixel upsample every output pixel belongs to one of four
-    polyphase grids whose values are fixed 2-tap lerps of the source
-    (weights 3/4 and 1/4, edge-clamped — identical to
+    evaluates focal+dice there (maskformer_head.py:475-494).  For an
+    integer-factor half-pixel upsample every output pixel belongs to one
+    of s_y*s_x polyphase grids whose values are fixed 2-tap lerps of
+    adjacent source pixels (edge-clamped — identical to
     ``jax.image.resize(method='linear')`` / torch align_corners=False):
-
-        even index 2k -> 0.25*x[k-1] + 0.75*x[k]
-        odd  index 2k+1 -> 0.75*x[k] + 0.25*x[k+1]
+    output index ``s*k + r`` reads source coordinate ``k + (2r+1-s)/(2s)``.
 
     Each phase's loss terms are elementwise in source-resolution tensors
-    and reduce immediately, so the [B, G, 2h, 2w] f32 buffers (and their
-    backward copies) never exist.  Targets come from the slot map's
-    matching phase grid as fused iota-compares.
+    and reduce immediately, so the [B, G, s_y*h, s_x*w] f32 buffers (and
+    their backward copies) never exist — at the flagship recipe (masks /4,
+    GT 512², 16 phases) the dense path materializes 268 MB per decoder
+    layer.  Targets come from the slot map's matching phase grid as fused
+    iota-compares.  Total elementwise work equals the dense path's (the
+    phase grids partition the output pixels).
 
     pred_s: [B, G, h, w] logits (matched per-GT predictions);
-    slot_map: [B, 2h, 2w] int32.  Returns (loss_dice, loss_focal) scalars
-    equal (to float rounding) to the dense upsample path.
+    slot_map: [B, s_y*h, s_x*w] int32.  Returns (loss_dice, loss_focal)
+    scalars equal (to float rounding) to the dense upsample path.
     """
     b, g, h, w = pred_s.shape
+    gh, gw = slot_map.shape[-2:]
+    sy, sx = gh // h, gw // w
     x = pred_s.astype(jnp.float32)
     slots = jnp.arange(g, dtype=jnp.int32)
 
@@ -204,18 +207,29 @@ def _gt_phase_losses(pred_s: jax.Array, slot_map: jax.Array,
             axis=axis)
         return prev, nxt
 
-    xm, xp = shifts(x, 2)
-    rows = (0.25 * xm + 0.75 * x, 0.75 * x + 0.25 * xp)
+    def variants(v, axis, s):
+        """The s fixed 2-tap phase lerps of ``v`` along ``axis``."""
+        prev, nxt = shifts(v, axis)
+        out = []
+        for r in range(s):
+            num = 2 * r + 1 - s  # coord offset numerator over 2s
+            if num < 0:
+                f = 1.0 + num / (2 * s)
+                out.append((-num / (2 * s)) * prev + f * v)
+            elif num == 0:
+                out.append(v)
+            else:
+                f = num / (2 * s)
+                out.append((1.0 - f) * v + f * nxt)
+        return out
 
     a = jnp.zeros((b, g), jnp.float32)
     sp = jnp.zeros((b, g), jnp.float32)
     st = jnp.zeros((b, g), jnp.float32)
     focal = jnp.zeros((b, g), jnp.float32)
-    for ar, r in enumerate(rows):
-        rm, rp = shifts(r, 3)
-        cols = (0.25 * rm + 0.75 * r, 0.75 * r + 0.25 * rp)
-        for ac, ph in enumerate(cols):
-            t = (slot_map[:, ar::2, ac::2][:, None]
+    for ar, r in enumerate(variants(x, 2, sy)):
+        for ac, ph in enumerate(variants(r, 3, sx)):
+            t = (slot_map[:, ar::sy, ac::sx][:, None]
                  == slots[None, :, None, None])
             tf = t.astype(jnp.float32)
             p = jax.nn.sigmoid(ph)
@@ -228,7 +242,7 @@ def _gt_phase_losses(pred_s: jax.Array, slot_map: jax.Array,
     d = 1.0 - (2 * a + eps) / (sp + st + eps)
     nt = jnp.maximum(num_total_masks, 1e-12)
     loss_dice = jnp.sum(d * pair_w) / nt
-    loss_focal = jnp.sum(focal * pair_w) / (nt * (2 * h) * (2 * w))
+    loss_focal = jnp.sum(focal * pair_w) / (nt * gh * gw)
     return loss_dice, loss_focal
 
 
@@ -269,7 +283,7 @@ def _layer_loss(cls_scores, mask_preds, matched_q, gt: GroundTruth,
     pair_w = (gt.valid & (matched_q >= 0)).astype(jnp.float32)  # [B, G]
 
     if (loss_at == "gt" and slot_ds is not None
-            and (gh, gw) == (2 * h, 2 * w)):
+            and gh % h == 0 and gw % w == 0 and (gh > h or gw > w)):
         # phase-decomposed exact path: no [B, G, gh, gw] buffers
         loss_dice, loss_focal = _gt_phase_losses(
             pred_at_gt, gt.slot_map, pair_w, num_total_masks)
@@ -327,14 +341,56 @@ def maskformer_loss(
     dice_weight: float = 1.0,
     matcher: str = "host",
     loss_at: str = "pred",
+    compact_gt: int | None = None,
 ) -> dict[str, jax.Array]:
     """Deep-supervised loss over all decoder layers (loss_by_feat :367-408).
 
     Returns per-layer loss dict {loss_cls, loss_mask, loss_dice,
     d{i}.loss_*} exactly like the reference logger keys.
+
+    ``compact_gt``: EXACT fast path for the padded GT axis.  Every mask
+    loss / cost term scales with the static ``max_gt`` padding (64 for the
+    flagship) although a typical crop has <20 distinct classes.  Because
+    ``semantic_to_instances`` packs valid slots into a prefix (top-k,
+    present-first), truncating the GT axis to ``compact_gt`` slots is
+    lossless whenever no slot beyond it is valid — invalid columns carry
+    BIG_COST and zero pair weight, so neither the assignment restricted to
+    valid columns nor any loss term changes.  A ``lax.cond`` dispatches to
+    the full-width branch on the (rare, ``dropped_gt``-style observable)
+    overflow, so the result is bit-identical to ``compact_gt=None`` for
+    every input; the host matcher is excluded (pure_callback inside cond
+    branches is not supported on all backends).
     """
     if loss_at not in ("pred", "gt"):
         raise ValueError(f"loss_at must be 'pred' or 'gt', got {loss_at!r}")
+    g_full = gt.labels.shape[1]
+    if (compact_gt is not None and compact_gt < g_full
+            and matcher != "host"):
+        gc = compact_gt
+        kw = dict(num_classes=num_classes, bg_class_weight=bg_class_weight,
+                  focal_weight=focal_weight, dice_weight=dice_weight,
+                  matcher=matcher, loss_at=loss_at)
+
+        # prefix-valid ordering makes "any valid slot beyond gc" the exact
+        # overflow predicate even for producers that don't sort (panoptic
+        # targets): validity anywhere past the prefix triggers full width
+        overflow = jnp.any(gt.valid[:, gc:])
+        small_gt = GroundTruth(
+            labels=gt.labels[:, :gc],
+            masks=None if gt.masks is None else gt.masks[:, :gc],
+            valid=gt.valid[:, :gc],
+            dropped=gt.dropped,
+            # slots >= gc are invalid here; gc is the truncated "no slot" id
+            slot_map=(None if gt.slot_map is None
+                      else jnp.minimum(gt.slot_map, gc)),
+        )
+        return jax.lax.cond(
+            overflow,
+            lambda: maskformer_loss(all_cls_scores, all_mask_preds, gt,
+                                    **kw),
+            lambda: maskformer_loss(all_cls_scores, all_mask_preds,
+                                    small_gt, **kw),
+        )
     class_weight = jnp.asarray(
         [1.0] * num_classes + [bg_class_weight], jnp.float32)
 

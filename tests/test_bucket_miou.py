@@ -65,13 +65,19 @@ def _train_tiny(model, rng):
     i112, s112 = zip(*[_make_image(rng, 112, 112) for _ in range(2)])
     x64, y64 = jnp.asarray(np.stack(i64)), jnp.asarray(np.stack(s64))
     x112, y112 = jnp.asarray(np.stack(i112)), jnp.asarray(np.stack(s112))
+    # lr 1.5e-3 x 450 iters, NOT 3e-3 x 300: the quantized-spike net is
+    # chaotic (ulp-level op-reordering diverges runs within 2 steps), and
+    # at 3e-3 the toy's convergence is a coin flip across numerically
+    # equivalent optimizer implementations.  The gentler recipe converges
+    # to the same bucket mIoUs for both the flat fused AdamW and the optax
+    # pytree chain.
     tx = make_optimizer(
         model.init(jax.random.PRNGKey(0), x64, True)["params"],
-        base_lr=3e-3, warmup_iters=20, total_iters=900, clip_norm=1.0)
+        base_lr=1.5e-3, warmup_iters=20, total_iters=1400, clip_norm=1.0)
     state = init_state(model, tx, jax.random.PRNGKey(0), x64)
     step = jax.jit(make_train_step(model, tx, num_classes=NUM_CLASSES,
                                    max_gt=8))
-    for _ in range(300):
+    for _ in range(450):
         state, metrics = step(state, x64, y64)
         state, metrics = step(state, x112, y112)
     assert np.isfinite(float(metrics["total"]))

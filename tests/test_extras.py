@@ -142,3 +142,63 @@ def test_sine_positional_encoding_matches_torch():
                      dim=4).view(b, h, w, -1)
     want = torch.cat((py, px), dim=3).numpy()
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_flat_adamw_matches_pytree_chain():
+    """The fused flat AdamW (make_optimizer default) must reproduce the
+    optax multi_transform chain step-for-step: same updates, including
+    group lr multipliers, zero-wd embeds, global-norm clipping, warmup."""
+    from spike2former_tpu.engine.optim import make_optimizer
+
+    rng = np.random.default_rng(7)
+    params = {
+        "backbone": {"conv": {"kernel": jnp.asarray(
+            rng.normal(size=(3, 5)), jnp.float32)}},
+        "head": {"query_embed": jnp.asarray(rng.normal(size=(8,)),
+                                            jnp.float32),
+                 "dense": {"kernel": jnp.asarray(rng.normal(size=(5, 2)),
+                                                 jnp.float32),
+                           "bias": jnp.asarray(rng.normal(size=(2,)),
+                                               jnp.float32)}},
+    }
+    kw = dict(base_lr=0.01, weight_decay=0.005, backbone_lr_mult=0.1,
+              clip_norm=0.5, warmup_iters=3, total_iters=20)
+    tx_ref = make_optimizer(params, flat=False, **kw)
+    tx_flat = make_optimizer(params, flat=True, **kw)
+    s_ref, s_flat = tx_ref.init(params), tx_flat.init(params)
+    p_ref = p_flat = params
+    import optax
+
+    for step in range(6):
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(rng.normal(size=p.shape) * (step + 1),
+                                  jnp.float32), params)
+        u_ref, s_ref = tx_ref.update(grads, s_ref, p_ref)
+        u_flat, s_flat = tx_flat.update(grads, s_flat, p_flat)
+        p_ref = optax.apply_updates(p_ref, u_ref)
+        p_flat = optax.apply_updates(p_flat, u_flat)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8),
+            p_ref, p_flat)
+
+
+def test_flat_adamw_layer_decay_matches():
+    from spike2former_tpu.engine.optim import make_optimizer
+
+    params = {"backbone": {"block1_2": {"w": jnp.ones((4,))},
+                           "down2": {"w": jnp.ones((4,))}},
+              "head": {"w": jnp.ones((4,))}}
+    grads = jax.tree_util.tree_map(
+        lambda p: jnp.full_like(p, 0.3), params)
+    outs = []
+    for flat in (False, True):
+        tx = make_optimizer(params, base_lr=1.0, warmup_iters=0,
+                            total_iters=10, clip_norm=1e9,
+                            layer_decay_rate=0.9, flat=flat)
+        u, _ = tx.update(grads, tx.init(params), params)
+        outs.append(u)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6),
+        outs[0], outs[1])

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -159,14 +160,17 @@ def test_slot_mode_matches_dense_mode():
                 err_msg=f"{mode}/{k}")
 
 
-def test_gt_phase_path_matches_dense_upsample():
-    """The polyphase GT-resolution loss (exact 2x case, no upsampled
-    buffers) must equal the dense resize_bilinear path to float rounding."""
+@pytest.mark.parametrize("sy,sx", [(2, 2), (4, 4), (3, 3), (2, 4)])
+def test_gt_phase_path_matches_dense_upsample(sy, sx):
+    """The polyphase GT-resolution loss (integer upscale, no upsampled
+    buffers) must equal the dense resize_bilinear path to float rounding —
+    incl. the flagship's 4x (masks /4, GT 512) and asymmetric scales."""
     rng = np.random.default_rng(13)
     b, g, h, w = 2, 4, 8, 12
+    gh, gw = sy * h, sx * w
     pred = jnp.asarray(rng.normal(size=(b, g, h, w)), jnp.float32)
     smap = jnp.asarray(
-        rng.integers(0, g + 1, size=(b, 2 * h, 2 * w)), jnp.int32)
+        rng.integers(0, g + 1, size=(b, gh, gw)), jnp.int32)
     pair_w = jnp.asarray(rng.uniform(0, 1, (b, g)) > 0.3, jnp.float32)
 
     from spike2former_tpu.losses.criterion import _gt_phase_losses
@@ -176,14 +180,14 @@ def test_gt_phase_path_matches_dense_upsample():
     nt = 5.0
     d_ph, f_ph = _gt_phase_losses(pred, smap, pair_w, nt)
 
-    up = resize_bilinear(pred[..., None], (2 * h, 2 * w))[..., 0]
+    up = resize_bilinear(pred[..., None], (gh, gw))[..., 0]
     tgt = (smap[:, None] == jnp.arange(g)[None, :, None, None])
-    d_ref = dice_loss(up.reshape(b * g, 2 * h, 2 * w),
-                      tgt.reshape(b * g, 2 * h, 2 * w),
+    d_ref = dice_loss(up.reshape(b * g, gh, gw),
+                      tgt.reshape(b * g, gh, gw),
                       weight=pair_w.reshape(-1), eps=1.0, naive=True,
                       activate=True, avg_factor=nt)
     f_ref = sigmoid_focal_loss(up, tgt, weight=pair_w[..., None, None],
-                               avg_factor=nt * 2 * h * 2 * w)
+                               avg_factor=nt * gh * gw)
     np.testing.assert_allclose(float(d_ph), float(d_ref), rtol=1e-5)
     np.testing.assert_allclose(float(f_ph), float(f_ref), rtol=1e-5)
 
@@ -295,3 +299,40 @@ def test_maskformer_loss_gradable():
     assert np.isfinite(np.asarray(gc)).all()
     assert np.isfinite(np.asarray(gm_)).all()
     assert float(jnp.abs(gm_).sum()) > 0
+
+
+def test_compact_gt_exactness_both_branches():
+    """compact_gt must be bit-identical to the full-width loss both when
+    valid slots fit in the compact prefix (fast branch) and when one lands
+    beyond it (overflow -> full-width branch)."""
+    rng = np.random.default_rng(21)
+    b, nq, g, gc, hw = 2, 10, 8, 4, 16
+    cls = jnp.asarray(rng.normal(size=(1, b, nq, 7)), jnp.float32)
+    masks = jnp.asarray(rng.normal(size=(1, b, nq, hw, hw)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 6, (b, g)), jnp.int32)
+
+    def run(valid_np, smap_np):
+        gt = GroundTruth(labels, None, jnp.asarray(valid_np),
+                         slot_map=jnp.asarray(smap_np))
+        outs = []
+        for cg in (None, gc):
+            outs.append(maskformer_loss(
+                cls, masks, gt, num_classes=6, matcher="auction",
+                loss_at="gt", compact_gt=cg))
+        for k in outs[0]:
+            np.testing.assert_array_equal(
+                np.asarray(outs[0][k]), np.asarray(outs[1][k]),
+                err_msg=k)
+
+    # fast branch: valid slots all < gc
+    valid = np.zeros((b, g), bool)
+    valid[:, :3] = True
+    smap = rng.integers(0, 3, size=(b, 2 * hw, 2 * hw)).astype(np.int32)
+    smap[:, :4] = g  # some unassigned pixels
+    run(valid, smap)
+
+    # overflow branch: slot gc+1 is valid somewhere
+    valid[0, gc + 1] = True
+    smap2 = smap.copy()
+    smap2[0, 5:7] = gc + 1
+    run(valid, smap2)

@@ -61,12 +61,23 @@ def main():
             step=jnp.zeros((), jnp.int32), params=variables["params"],
             batch_stats=variables.get("batch_stats", {}),
             opt_state=tx.init(variables["params"]))
-        sem = jnp.asarray(rng.integers(0, cfg.model.num_classes,
-                                       (args.batch_size, *size)), jnp.int32)
+        # realistic GT: ~16 distinct classes per crop as nearest-upsampled
+        # blocks (ADE20K crops average ~10; uniform-random pixels would
+        # claim all 150 classes present and drive the loss pipeline into
+        # its padded worst case — see criterion.maskformer_loss compact_gt)
+        distinct = min(16, cfg.model.num_classes)
+        table = rng.choice(cfg.model.num_classes, size=distinct,
+                           replace=False)
+        blocks = table[rng.integers(0, distinct,
+                                    (args.batch_size, 32, 32))]
+        sem = jnp.asarray(np.repeat(np.repeat(
+            blocks, size[0] // 32, axis=1), size[1] // 32, axis=2)[
+                :, :size[0], :size[1]], jnp.int32)
         step = jax.jit(make_train_step(
             model, tx, num_classes=cfg.model.num_classes,
             max_gt=cfg.train.max_gt, matcher=cfg.train.matcher,
-            loss_at=cfg.train.loss_at, accum_steps=args.accum_steps))
+            loss_at=cfg.train.loss_at, accum_steps=args.accum_steps,
+            compact_gt=cfg.train.compact_gt))
 
         def run(st):
             st, metrics = step(st, x, sem)

@@ -62,8 +62,13 @@ def main():
     model = Spike2Former(num_classes=num_classes, T=T, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(0, 255, (batch, 512, 512, 3)), jnp.float32)
-    sem = jnp.asarray(rng.integers(0, num_classes, (batch, 512, 512)),
-                      jnp.int32)
+    # realistic GT: ~16 distinct classes per crop (blocky), matching real
+    # ADE20K crops; uniform-random pixels would put all 150 classes in
+    # every image and force the loss pipeline's padded worst case
+    table = rng.choice(num_classes, size=16, replace=False)
+    blocks = table[rng.integers(0, 16, (batch, 32, 32))]
+    sem = jnp.asarray(
+        np.repeat(np.repeat(blocks, 16, axis=1), 16, axis=2), jnp.int32)
     variables = fast_variables(model, x)
     tx = make_optimizer(variables["params"])
     state = TrainState(step=jnp.zeros((), jnp.int32),
@@ -143,6 +148,48 @@ def main():
     t_lfg = timeit(lambda: lfg_j(cls_fix, mask_fix))
     print(f"losses on fixed preds:    {t_lf:8.1f} ms fwd, "
           f"{t_lfg:8.1f} ms fwd+bwd")
+
+    # 4d. submodule fwd / fwd+bwd — localize the model backward:
+    # backbone vs the head (pixel decoder + transformer decoder)
+    def backbone_scalar(params, stats):
+        xx = preprocess(x)
+        feats, _ = model.apply(
+            {"params": params, "batch_stats": stats}, xx, True,
+            mutable=["batch_stats"],
+            method=lambda m, im, tr: m.backbone(im, tr))
+        return sum(jnp.sum(f.astype(jnp.float32)) for f in feats)
+
+    bb_j = jax.jit(backbone_scalar)
+    t_bb = timeit(lambda: bb_j(state.params, state.batch_stats))
+    bbg_j = jax.jit(lambda p, s: jax.grad(
+        lambda pp: backbone_scalar(pp, s))(p))
+    t_bbg = timeit(lambda: bbg_j(state.params, state.batch_stats))
+    print(f"backbone fwd / fwd+bwd:   {t_bb:8.1f} / {t_bbg:8.1f} ms")
+
+    # head on FIXED backbone features (fwd excluded from the grad)
+    feats_fix = jax.jit(
+        lambda p, s: model.apply(
+            {"params": p, "batch_stats": s}, preprocess(x), True,
+            mutable=["batch_stats"],
+            method=lambda m, im, tr: m.backbone(im, tr))[0]
+    )(state.params, state.batch_stats)
+    feats_fix = jax.tree_util.tree_map(
+        jax.lax.stop_gradient, feats_fix)
+
+    def head_scalar(params, stats):
+        (cls, masks), _ = model.apply(
+            {"params": params, "batch_stats": stats}, feats_fix, True,
+            mutable=["batch_stats"],
+            method=lambda m, fs, tr: m.head(fs, tr))
+        return (jnp.sum(cls[-1].astype(jnp.float32))
+                + jnp.sum(masks[-1].astype(jnp.float32)))
+
+    hd_j = jax.jit(head_scalar)
+    t_hd = timeit(lambda: hd_j(state.params, state.batch_stats))
+    hdg_j = jax.jit(lambda p, s: jax.grad(
+        lambda pp: head_scalar(pp, s))(p))
+    t_hdg = timeit(lambda: hdg_j(state.params, state.batch_stats))
+    print(f"head fwd / fwd+bwd:       {t_hd:8.1f} / {t_hdg:8.1f} ms")
 
     # 5. optimizer update alone
     grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)

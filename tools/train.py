@@ -162,13 +162,15 @@ def main():
         # buffers for the outputs (one full state copy less in HBM)
         step_fn = jax.jit(make_train_step_panoptic(
             model, tx, num_classes=cfg.model.num_classes,
-            matcher=cfg.train.matcher, loss_at=cfg.train.loss_at),
+            matcher=cfg.train.matcher, loss_at=cfg.train.loss_at,
+            compact_gt=cfg.train.compact_gt),
             donate_argnums=0)
     else:
         step_fn = jax.jit(make_train_step(
             model, tx, num_classes=cfg.model.num_classes,
             max_gt=cfg.train.max_gt, matcher=cfg.train.matcher,
-            loss_at=cfg.train.loss_at, accum_steps=cfg.train.accum_steps),
+            loss_at=cfg.train.loss_at, accum_steps=cfg.train.accum_steps,
+            compact_gt=cfg.train.compact_gt),
             donate_argnums=0)
 
     from spike2former_tpu.engine.logging import ScalarLogger
