@@ -473,4 +473,9 @@ def maskformer_loss(
         for i in range(num_layers - 1):
             losses[f"d{i}.{k}"] = stacked[k][i]
     losses["total"] = sum(jnp.sum(v) for v in stacked.values())
+    # observability: valid GT columns the assignment left unmatched
+    # (auction iteration-cap edge; 0 in normal operation) — these pairs
+    # contribute no mask loss this step
+    losses["unmatched_gt"] = jnp.sum(
+        (gt.valid[None] & (all_matched < 0)).astype(jnp.float32))
     return losses

@@ -12,9 +12,10 @@ backends:
 * ``hungarian_host`` — exact ``scipy.optimize.linear_sum_assignment`` via
   ``jax.pure_callback`` (the reference's own CPU round-trip,
   hungarian_assigner.py:126-133), batched over images in one callback.
-* ``auction_match`` — a fully on-device auction algorithm (Bertsekas) in
-  ``lax.while_loop``; epsilon-scaled so it converges to the exact optimum
-  for the cost scales seen here.  No host sync — preferred under pjit.
+* ``auction_match`` — a fully on-device forward auction (Bertsekas) in
+  ``lax.while_loop``; within ``G_valid * eps`` (eps = 0.02) of the exact
+  optimum, measured ~1e-4 excess on realistic cost batches.  No host
+  sync — preferred under pjit.
 """
 from __future__ import annotations
 
@@ -106,73 +107,86 @@ def hungarian_host(costs: jax.Array) -> jax.Array:
         costs, vmap_method="sequential")
 
 
-def auction_match(costs: jax.Array, num_iters: int = 400,
-                  eps_start: float = 0.5, eps_end: float = 1e-4
-                  ) -> jax.Array:
+def auction_match(costs: jax.Array, num_iters: int = 600,
+                  eps: float = 0.02) -> jax.Array:
     """On-device auction assignment: costs [B, nq, G] -> [B, G] query index
     per GT column.
 
     GT columns are bidders competing for query rows; benefit = -cost.
-    Runs a fixed iteration budget of synchronous Jacobi auction rounds with
-    epsilon scaling — deterministic, jit-friendly, no host sync.  With the
-    bounded cost ranges here (|cost| <= ~25) the final eps makes ties
-    irrelevant in practice.
+    ONE synchronous-Jacobi forward-auction run (Bertsekas) from zero
+    prices.  For this asymmetric problem (G <= nq, every bidder must be
+    assigned) the from-zero run carries the clean guarantee: prices only
+    rise, so unassigned queries keep their minimal (zero) price and the
+    terminal assignment is within ``G_valid * eps`` of the optimum.
+    Measured on realistic cost batches the excess is ~1e-4 (see
+    tests/test_losses.py::test_auction_near_optimal_tight_gaps).
+
+    Two measured design decisions:
+
+    * Padded/invalid GT columns (uniform BIG_COST rows) are PARKED as
+      pre-assigned instead of bidding: identical rows share one argmax,
+      so they would win serially — one iteration per padded column was
+      the dominant iteration cost (17 -> 4 iterations at the flagship
+      shape).  They cannot affect the optimum restricted to valid
+      columns and are reported unmatched (-1).
+    * NO warm-started epsilon-scaling phases.  Under Jacobi dynamics a
+      re-auctioned phase can strand one high-priced query: its eventual
+      taker must wait for every alternative's price to catch up in eps
+      increments — a measured 400+-iteration stall (and with the phase
+      capped, the result silently regressed to the coarse-eps
+      assignment).  A single small-eps run from zero prices is both
+      faster (no stranded prices) and tighter.
+
+    The iteration cap only binds under adversarial bidding wars
+    (two columns sharing a strong unique preference: war length
+    ~2*margin/eps); a capped run can leave valid columns unmatched
+    (-1), which the criterion surfaces via the ``unmatched_gt`` metric.
+    Deterministic, jit-friendly, no host sync — preferred under pjit.
     """
     b, nq, g = costs.shape
     benefit = -costs.astype(jnp.float32)  # [B, nq, G]
+    invalid_col = jnp.all(costs >= BIG_COST * 0.5, axis=1)  # [B, G]
 
-    def run_eps(carry, eps):
-        price, owner = carry  # price [B, nq]; owner [B, nq] (gt idx or -1)
+    def body(state):
+        i, price, owner, assigned = state
+        # each unassigned gt bids for its best query
+        value = benefit - price[:, :, None]  # [B, nq, G]
+        best_q = jnp.argmax(value, axis=1)  # [B, G]
+        top = jnp.max(value, axis=1)  # [B, G]
+        # second best value per gt
+        masked = value.at[jnp.arange(b)[:, None],
+                          best_q, jnp.arange(g)[None, :]].set(-jnp.inf)
+        second = jnp.max(masked, axis=1)
+        second = jnp.where(jnp.isfinite(second), second, top)
+        bid = top - second + eps  # [B, G]
+        bid = jnp.where(assigned, -jnp.inf, bid)
 
-        def body(state):
-            i, price, owner, assigned = state
-            # each unassigned gt bids for its best query
-            value = benefit - price[:, :, None]  # [B, nq, G]
-            best_q = jnp.argmax(value, axis=1)  # [B, G]
-            top = jnp.max(value, axis=1)  # [B, G]
-            # second best value per gt
-            masked = value.at[jnp.arange(b)[:, None],
-                              best_q, jnp.arange(g)[None, :]].set(-jnp.inf)
-            second = jnp.max(masked, axis=1)
-            second = jnp.where(jnp.isfinite(second), second, top)
-            bid = top - second + eps  # [B, G]
-            bid = jnp.where(assigned, -jnp.inf, bid)
+        # highest bid per query wins (scatter-max)
+        bid_mat = jnp.full((b, nq, g), -jnp.inf).at[
+            jnp.arange(b)[:, None], best_q, jnp.arange(g)[None, :]
+        ].set(bid)
+        win_bid = jnp.max(bid_mat, axis=2)  # [B, nq]
+        win_gt = jnp.argmax(bid_mat, axis=2)
+        got = win_bid > -jnp.inf
 
-            # highest bid per query wins (scatter-max)
-            bid_mat = jnp.full((b, nq, g), -jnp.inf).at[
-                jnp.arange(b)[:, None], best_q, jnp.arange(g)[None, :]
-            ].set(bid)
-            win_bid = jnp.max(bid_mat, axis=2)  # [B, nq]
-            win_gt = jnp.argmax(bid_mat, axis=2)
-            got = win_bid > -jnp.inf
+        # winners raise the price and take ownership; a re-won query's
+        # previous owner implicitly becomes unassigned (owner map is
+        # recomputed below)
+        price = jnp.where(got, price + win_bid, price)
+        new_owner = jnp.where(got, win_gt, owner)
+        oh = jax.nn.one_hot(
+            jnp.where(new_owner >= 0, new_owner, g), g + 1, dtype=bool)
+        assigned = jnp.any(oh[..., :g], axis=1) | invalid_col
+        return i + 1, price, new_owner, assigned
 
-            # winners raise the price and take ownership; a re-won query's
-            # previous owner implicitly becomes unassigned (owner map is
-            # recomputed below)
-            price = jnp.where(got, price + win_bid, price)
-            new_owner = jnp.where(got, win_gt, owner)
-            oh = jax.nn.one_hot(
-                jnp.where(new_owner >= 0, new_owner, g), g + 1, dtype=bool)
-            assigned = jnp.any(oh[..., :g], axis=1)
-            return i + 1, price, new_owner, assigned
+    def cond(state):
+        i, price, owner, assigned = state
+        return (i < num_iters) & ~jnp.all(assigned)
 
-        def cond(state):
-            i, price, owner, assigned = state
-            return (i < num_iters) & ~jnp.all(assigned)
-
-        assigned0 = jnp.zeros((b, g), bool)
-        oh = jax.nn.one_hot(jnp.where(owner >= 0, owner, g), g + 1,
-                            dtype=bool)
-        assigned0 = jnp.any(oh[..., :g], axis=1)
-        _, price, owner, _ = jax.lax.while_loop(
-            cond, body, (0, price, owner, assigned0))
-        return (price, owner), None
-
-    eps_schedule = jnp.asarray(
-        [eps_start, eps_start / 8, eps_start / 64, eps_end], jnp.float32)
-    init = (jnp.zeros((b, nq), jnp.float32),
-            jnp.full((b, nq), -1, jnp.int32))
-    (price, owner), _ = jax.lax.scan(run_eps, init, eps_schedule)
+    price0 = jnp.zeros((b, nq), jnp.float32)
+    owner0 = jnp.full((b, nq), -1, jnp.int32)
+    _, price, owner, _ = jax.lax.while_loop(
+        cond, body, (0, price0, owner0, invalid_col))
 
     # owner: [B, nq] -> per-gt matched query [B, G]
     matched = jnp.full((b, g), -1, jnp.int32)
@@ -181,4 +195,4 @@ def auction_match(costs: jax.Array, num_iters: int = 400,
     matched = matched.at[
         jnp.arange(b)[:, None], jnp.where(valid, owner, 0)
     ].max(jnp.where(valid, q_idx, -1))
-    return matched
+    return jnp.where(invalid_col, -1, matched)

@@ -336,3 +336,38 @@ def test_compact_gt_exactness_both_branches():
     smap2 = smap.copy()
     smap2[0, 5:7] = gc + 1
     run(valid, smap2)
+
+
+def test_auction_near_optimal_tight_gaps():
+    """The from-zero auction must stay within G*eps of the Hungarian
+    optimum even when cost gaps are SMALLER than eps (the regime where a
+    coarse-eps assignment visibly deviates), and parked invalid columns
+    must come back unmatched."""
+    from scipy.optimize import linear_sum_assignment
+
+    from spike2former_tpu.losses.matcher import BIG_COST, auction_match
+
+    rng = np.random.default_rng(0)
+    worst = 0.0
+    for _ in range(50):
+        c = rng.uniform(0, 0.4, (1, 10, 6)).astype(np.float32)
+        m = np.asarray(auction_match(jnp.asarray(c)))[0]
+        assert len({q for q in m if q >= 0}) == 6  # all matched, unique
+        r, cols = linear_sum_assignment(c[0].T)
+        opt = c[0].T[r, cols].sum()
+        got = sum(c[0, m[gt], gt] for gt in range(6))
+        worst = max(worst, got - opt)
+    assert worst <= 6 * 0.02 + 1e-6, worst
+
+    # realistic shape with padded invalid columns
+    c = rng.normal(0, 8, (8, 100, 32)).astype(np.float32)
+    c[:, :, 16:] = BIG_COST
+    m = np.asarray(auction_match(jnp.asarray(c)))
+    assert (m[:, 16:] == -1).all()
+    for i in range(8):
+        assert (m[i, :16] >= 0).all()
+        assert len(set(m[i, :16].tolist())) == 16
+        r, cols = linear_sum_assignment(c[i, :, :16].T)
+        opt = c[i, :, :16].T[r, cols].sum()
+        got = sum(c[i, m[i][gt], gt] for gt in range(16))
+        assert got - opt <= 16 * 0.02 + 1e-5, (i, got - opt)

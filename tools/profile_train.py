@@ -103,7 +103,8 @@ def main():
             mutable=["batch_stats"])
         gt = semantic_to_instances(sem, num_classes, 64)
         return maskformer_loss(cls, masks, gt, num_classes=num_classes,
-                               matcher=matcher, loss_at=loss_at)["total"]
+                               matcher=matcher, loss_at=loss_at,
+                               compact_gt=32)["total"]
 
     loss_j = jax.jit(loss_only)
     t_loss = timeit(lambda: loss_j(state.params, state.batch_stats))
@@ -135,7 +136,8 @@ def main():
     def fixed_loss(cls, masks):
         gt = semantic_to_instances(sem, num_classes, 64)
         return maskformer_loss(cls, masks, gt, num_classes=num_classes,
-                               matcher=matcher, loss_at=loss_at)["total"]
+                               matcher=matcher, loss_at=loss_at,
+                               compact_gt=32)["total"]
 
     key = jax.random.PRNGKey(0)
     cls_fix = jax.random.normal(key, (7, batch, 100, num_classes + 1),
