@@ -76,6 +76,11 @@ class TrainConfig:
     # equivalence) — the documented fast path, NOT the default.
     loss_at: str = "gt"
     accum_steps: int = 1              # grad accumulation (global batch 48)
+    # Save Spike→Conv activations for backward as packed 4-bit codes
+    # instead of bf16/f32 (ops/spike_op.py — the reference spike_op.py's
+    # compact spike caching).  Bit-identical gradients; cuts BPTT
+    # activation memory at those sites 4-8x.
+    packed_residuals: bool = False
     layer_decay_rate: float = 0.0     # >0: backbone layer-wise lr decay
     loss_decode: tuple = (("ce", 1.0),)  # fpn family: pixel-loss spec
     seed: int = 0

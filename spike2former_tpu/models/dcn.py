@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.dcnv3 import dcnv3_core
-from .layers import BatchNorm, SepConv, Spike, fold_t, unfold_t
+from .layers import (BatchNorm, SepConv, Spike, _packed_cgd, fold_t,
+                     unfold_t)
 
 
 class DCNv3(nn.Module):
@@ -52,17 +53,20 @@ class DCNv3(nn.Module):
         x1f = nn.Conv(self.channels, (self.dw_kernel_size,) * 2,
                       padding=[( (self.dw_kernel_size - 1) // 2,) * 2] * 2,
                       feature_group_count=self.channels, use_bias=False,
-                      dtype=self.dtype, name="dw_conv")(x1f)
+                      dtype=self.dtype, name="dw_conv",
+                      conv_general_dilated=_packed_cgd(self.spike))(x1f)
         x1f = BatchNorm(use_running_average=not train, name="dw_bn")(x1f)
         x1f = Spike(self.spike)(x1f)
 
         zeros = nn.initializers.zeros
         offset = nn.Conv(g * p * 2, (1, 1), use_bias=True, kernel_init=zeros,
-                         dtype=self.dtype, name="offset_conv")(x1f)
+                         dtype=self.dtype, name="offset_conv",
+                         conv_general_dilated=_packed_cgd(self.spike))(x1f)
         offset = BatchNorm(use_running_average=not train,
                            name="offset_bn")(offset)
         mask = nn.Conv(g * p, (1, 1), use_bias=True, kernel_init=zeros,
-                       dtype=self.dtype, name="mask_conv")(x1f)
+                       dtype=self.dtype, name="mask_conv",
+                       conv_general_dilated=_packed_cgd(self.spike))(x1f)
         mask = BatchNorm(use_running_average=not train, name="mask_bn")(mask)
         if self.compat:
             # Reference quirk (modules/dcnv3.py:213-215): the offset/mask

@@ -44,6 +44,23 @@ SPIKE_FNS: dict[str, tuple[SpikeFn, float]] = {
 }
 
 
+def _packed_cgd(spike_kind: str | None):
+    """``conv_general_dilated`` override for convs whose input is the
+    output of a ``Spike(spike_kind)`` site: when packed residuals are
+    enabled (ops/spike_op.py — the reference spike_op.py's compact spike
+    caching, re-done as 4-bit packed codes), the conv's autodiff residual
+    stores the spike CODES instead of the float activation.  Numerically
+    identical either way; returns None (flax default) when disabled.
+    """
+    if spike_kind is None:
+        return None
+    from ..ops import spike_op
+
+    if not spike_op.packed_enabled():
+        return None
+    return spike_op.packed_conv_fn(SPIKE_FNS[spike_kind][1])
+
+
 def fold_t(x: jax.Array) -> tuple[jax.Array, int]:
     """[T, B, ...] -> [(T*B), ...]."""
     t = x.shape[0]
@@ -115,6 +132,9 @@ class ConvBN(nn.Module):
     use_bias: bool = False
     bn: bool = True
     dtype: jnp.dtype = jnp.float32
+    # set to the preceding Spike site's kind when this conv's input is a
+    # spike output — enables packed 4-bit residuals (see _packed_cgd)
+    spike_input: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -129,6 +149,7 @@ class ConvBN(nn.Module):
             feature_group_count=self.groups,
             use_bias=self.use_bias,
             dtype=self.dtype,
+            conv_general_dilated=_packed_cgd(self.spike_input),
         )(x)
         if self.bn:
             x = BatchNorm(use_running_average=not train)(x)
@@ -232,17 +253,21 @@ class SepConv(nn.Module):
         med = int(self.expansion_ratio * self.dim)
         xf, t = fold_t(x)
         xf = Spike(self.spike)(xf)
-        xf = ConvBN(med, (1, 1), dtype=self.dtype)(xf, train)
+        xf = ConvBN(med, (1, 1), dtype=self.dtype,
+                    spike_input=self.spike)(xf, train)
         xf = Spike(self.spike)(xf)
         xf = nn.Conv(med, (self.kernel_size,) * 2,
                      padding=[(self.padding,) * 2] * 2,
                      feature_group_count=med, use_bias=False,
-                     dtype=self.dtype)(xf)
+                     dtype=self.dtype,
+                     conv_general_dilated=_packed_cgd(self.spike))(xf)
         if self.dw_bn:
             xf = BatchNorm(use_running_average=not train)(xf)
         if self.num_spikes >= 3:
             xf = Spike(self.spike)(xf)
-        xf = ConvBN(self.dim, (1, 1), dtype=self.dtype)(xf, train)
+        xf = ConvBN(self.dim, (1, 1), dtype=self.dtype,
+                    spike_input=self.spike if self.num_spikes >= 3
+                    else None)(xf, train)
         return unfold_t(xf, t)
 
 
@@ -267,9 +292,10 @@ class MSConvBlock(nn.Module):
         xf, t = fold_t(x)
         xf = Spike(self.spike)(xf)
         xf = ConvBN(self.dim * self.mlp_ratio, (3, 3), padding=1,
-                    dtype=self.dtype)(xf, train)
+                    dtype=self.dtype, spike_input=self.spike)(xf, train)
         xf = Spike(self.spike)(xf)
-        xf = ConvBN(self.dim, (3, 3), padding=1, dtype=self.dtype)(xf, train)
+        xf = ConvBN(self.dim, (3, 3), padding=1, dtype=self.dtype,
+                    spike_input=self.spike)(xf, train)
         return feat + unfold_t(xf, t)
 
 
@@ -290,11 +316,13 @@ class MSMLP(nn.Module):
         xf, t = fold_t(x)
         xf = Spike(self.spike)(xf)
         xf = nn.Conv(self.hidden, (1,) * (xf.ndim - 2), use_bias=True,
-                     dtype=self.dtype)(xf)
+                     dtype=self.dtype,
+                     conv_general_dilated=_packed_cgd(self.spike))(xf)
         xf = BatchNorm(use_running_average=not train)(xf)
         xf = Spike(self.spike)(xf)
         xf = nn.Conv(out, (1,) * (xf.ndim - 2), use_bias=True,
-                     dtype=self.dtype)(xf)
+                     dtype=self.dtype,
+                     conv_general_dilated=_packed_cgd(self.spike))(xf)
         xf = BatchNorm(use_running_average=not train)(xf)
         return unfold_t(xf, t)
 
@@ -318,6 +346,8 @@ class DownSampling(nn.Module):
         xf = nn.Conv(self.features, (self.kernel,) * 2,
                      strides=(self.stride,) * 2,
                      padding=[(self.padding,) * 2] * 2,
-                     use_bias=True, dtype=self.dtype)(xf)
+                     use_bias=True, dtype=self.dtype,
+                     conv_general_dilated=_packed_cgd(
+                         None if self.first_layer else self.spike))(xf)
         xf = BatchNorm(use_running_average=not train)(xf)
         return unfold_t(xf, t)

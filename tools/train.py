@@ -104,6 +104,12 @@ def main():
     work_dir = args.work_dir or os.path.join(cfg.work_dir, cfg.name)
     os.makedirs(work_dir, exist_ok=True)
 
+    if cfg.train.packed_residuals:
+        # before any trace: Spike→Conv backward residuals as 4-bit codes
+        from spike2former_tpu.ops.spike_op import enable_packed_residuals
+
+        enable_packed_residuals(True)
+
     model = build_model(cfg.model)
     panoptic = cfg.data.dataset == "coco_panoptic"
     # cfg batch_size is GLOBAL; each process loads its local share
