@@ -38,6 +38,7 @@ class ModelConfig:
     compat: bool = False              # reference-exact layout quirks
     norm_eval: bool = True            # freeze backbone BN in training
     collapse_t: bool = True           # skip provably-identical time steps
+    masked_attention: bool = False    # Mask2Former masked cross-attention
     dtype: str = "float32"
 
 
@@ -134,7 +135,8 @@ def build_model(cfg: ModelConfig):
         num_encoder_layers=cfg.num_encoder_layers,
         depths_stage3=cfg.depths_stage3, depths_stage4=cfg.depths_stage4,
         dcn_group=cfg.dcn_group, compat=cfg.compat,
-        norm_eval=cfg.norm_eval, collapse_t=cfg.collapse_t, dtype=dtype)
+        norm_eval=cfg.norm_eval, collapse_t=cfg.collapse_t,
+        masked_attention=cfg.masked_attention, dtype=dtype)
 
 
 def apply_overrides(cfg: Config, options: list[str]) -> Config:

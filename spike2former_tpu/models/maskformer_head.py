@@ -31,6 +31,31 @@ from .positional import sine_pe_for_shape, sine_positional_encoding
 from .transformer_decoder import DetrDecoderLayer
 
 
+def mask2former_attn_mask(mask_pred: jax.Array, hw: tuple[int, int],
+                          pad_mask: jax.Array | None = None) -> jax.Array:
+    """Mask2Former masked-attention rule: the previous layer's mask
+    prediction, resized to the attention level, gates the keys.
+
+    mask_pred: [B, nq, h, w] mask LOGITS.  Returns a boolean
+    [B, 1(heads), nq, hw] attention mask (True = masked out):
+    ``sigmoid(resize(mask)) < 0.5`` (⇔ resized logit < 0), except rows
+    that would mask every key are fully unmasked (the upstream
+    Mask2FormerHead escape that keeps degenerate queries trainable).
+    ``pad_mask`` ([B, 1, 1, hw]) ORs in padded-token masking.
+    """
+    from ..ops.resize import resize_bilinear_hw
+
+    b, nq = mask_pred.shape[:2]
+    h, w = hw
+    m = resize_bilinear_hw(mask_pred.astype(jnp.float32), (h, w))
+    am = (m < 0.0).reshape(b, nq, h * w)
+    all_masked = jnp.all(am, axis=-1, keepdims=True)
+    am = (am & ~all_masked)[:, None]  # [B, 1, nq, hw]
+    if pad_mask is not None:
+        am = am | pad_mask
+    return am
+
+
 class MaskFormerHead(nn.Module):
     in_channels: Sequence[int] = (32, 64, 128, 360)
     feat_channels: int = 256
@@ -48,6 +73,12 @@ class MaskFormerHead(nn.Module):
     alpha: float = 4.0
     spike: str = "qspike"
     decoder_order: str = "ca_sa"   # 'sa_ca' = Spike2former_layers variant
+    # Mask2Former-style masked cross-attention: each decoder layer's
+    # cross-attn keys are restricted to the foreground of the PREVIOUS
+    # layer's mask prediction (sigmoid < 0.5 masked, with the all-masked
+    # row escape).  Matches mmdet Mask2FormerHead._forward_head +
+    # Mask2FormerTransformerDecoderLayer (mask2former_layers.py:188-261).
+    masked_attention: bool = False
     compat: bool = False
     remat: bool = False  # checkpoint DCN encoder layers (training memory)
     dtype: jnp.dtype = jnp.float32
@@ -118,7 +149,92 @@ class MaskFormerHead(nn.Module):
         query = jnp.broadcast_to(query_feat, (t, b, nq, c))
         qpos = jnp.broadcast_to(query_embed, (b, nq, c))
 
-        out_dec = [query]  # supervise the initial queries too (:551-552)
+        # ---- SDME output block (:571-582), shared across all calls ----
+        decoder_out_spike = Spike(self.spike, name="decoder_out_spike")
+        cls_embed = nn.Dense(
+            self.num_classes + 1, dtype=self.dtype,
+            kernel_init=nn.initializers.truncated_normal(0.02),
+            name="cls_embed")
+        mask_mlp = SpikeMLP3(
+            self.out_channels, quant_const=self.alpha, spike=self.spike,
+            dtype=self.dtype, name="mask_embed")
+        shortcut_spike = Spike(self.spike, name="shortcut_spike")
+        shortcut_bn = BatchNorm(use_running_average=not train,
+                                name="shortcut_bn")
+        mask_embed_spike = Spike(self.spike, name="mask_embed_spike")
+        w_mix = self.param(
+            "shortcut_kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+            (nq, nq))
+        w_scale = self.param("w", nn.initializers.ones, (1,))
+
+        def sdme(out):
+            """out: [L, T, B, nq, C] query features → per-layer class
+            scores [L, B, nq, ncls+1] and mask logits [L, B, nq, h, w]."""
+            out_sig = jax.nn.sigmoid(
+                out.astype(jnp.float32)).astype(out.dtype)
+            out_spiked = self.alpha * decoder_out_spike(out_sig)
+            cls_scores = cls_embed(out_spiked).mean(axis=1)  # mean over T
+
+            mask_embed = mask_mlp(out_spiked)
+            # shortcut: conv over the *query* axis + BN over queries
+            # (maskformer_head.py:152-155,576-579)
+            sc = self.alpha * shortcut_spike(out_sig)
+            sc = jnp.einsum("ltbqc,pq->ltbpc", sc, w_mix)
+            sc_t = jnp.moveaxis(sc, 3, -1)  # [..., C, nq]
+            sc_t = shortcut_bn(sc_t.reshape(-1, c, nq)).reshape(sc_t.shape)
+            sc = jnp.moveaxis(sc_t, -1, 3)
+            mask_embed = mask_embed + w_scale * sc
+            mask_embed = self.alpha * mask_embed_spike(mask_embed)
+
+            # [L,T,B,nq,C] x [T,B,h,w,C] -> [L,B,nq,h,w]: contract (T, C)
+            # in one dot_general (== einsum('ltbqc,tbchw->ltbqhw').mean(T)
+            # of the reference :581-582, without materializing the 6-D
+            # intermediate).
+            mask_preds = jnp.einsum(
+                "ltbqc,tbhwc->lbqhw", mask_embed, mask_features,
+                preferred_element_type=jnp.float32) / t
+            return cls_scores.astype(jnp.float32), mask_preds
+
+        def attn_mask_from(mask_pred, lvl):
+            hw = (multi_scale[lvl].shape[2], multi_scale[lvl].shape[3])
+            return mask2former_attn_mask(mask_pred, hw,
+                                         pad_mask=decoder_masks[lvl])
+
+        if not self.masked_attention:
+            out_dec = [query]  # supervise the initial queries (:551-552)
+            for i in range(self.num_decoder_layers):
+                lvl = i % self.num_feat_levels
+                query = DetrDecoderLayer(
+                    embed_dims=c, num_heads=self.num_heads,
+                    feedforward_channels=self.decoder_ffn_channels,
+                    spike=self.spike, order=self.decoder_order,
+                    compat=self.compat, dtype=self.dtype,
+                    name=f"decoder_{i}")(
+                    query, decoder_inputs[lvl], decoder_inputs[lvl],
+                    qpos, decoder_pes[lvl],
+                    cross_attn_mask=decoder_masks[lvl], train=train)
+                out_dec.append(query)
+
+            out = jnp.stack(out_dec)  # [L+1, T, B, nq, C]
+            if not train:
+                # Deep supervision is only consumed by the loss; at
+                # inference the reference discards all but the last layer
+                # (:163-164), so skip the SDME work for the other six.
+                out = out[-1:]
+            return sdme(out)
+
+        # Mask2Former mode: per-layer head + masked cross-attention.  The
+        # SDME must run per layer anyway (its mask gates the next layer's
+        # attention), so deep supervision comes for free at train time.
+        # (Train-mode shortcut-BN batch statistics are computed per layer
+        # here vs. over the stacked layers in MaskFormer mode — a
+        # different-model-variant choice, not a numerical bug; eval uses
+        # running averages and is unaffected.)
+        cls_list, mask_list = [], []
+        cls_i, mask_i = sdme(query[None])
+        cls_list.append(cls_i[0])
+        mask_list.append(mask_i[0])
         for i in range(self.num_decoder_layers):
             lvl = i % self.num_feat_levels
             query = DetrDecoderLayer(
@@ -129,56 +245,14 @@ class MaskFormerHead(nn.Module):
                 name=f"decoder_{i}")(
                 query, decoder_inputs[lvl], decoder_inputs[lvl],
                 qpos, decoder_pes[lvl],
-                cross_attn_mask=decoder_masks[lvl], train=train)
-            out_dec.append(query)
-
-        out = jnp.stack(out_dec)  # [L+1, T, B, nq, C]
+                cross_attn_mask=attn_mask_from(mask_list[-1], lvl),
+                train=train)
+            cls_i, mask_i = sdme(query[None])
+            cls_list.append(cls_i[0])
+            mask_list.append(mask_i[0])
         if not train:
-            # Deep supervision is only consumed by the loss; at inference the
-            # reference discards all but the last layer (:163-164), so skip
-            # the SDME work for the other six.
-            out = out[-1:]
-        ln = out.shape[0]
-
-        # ---- SDME output block (:571-582) ----
-        out_sig = jax.nn.sigmoid(out.astype(jnp.float32)).astype(out.dtype)
-        out_spiked = self.alpha * Spike(self.spike, name="decoder_out_spike")(
-            out_sig)
-        cls_embed = nn.Dense(
-            self.num_classes + 1, dtype=self.dtype,
-            kernel_init=nn.initializers.truncated_normal(0.02),
-            name="cls_embed")
-        all_cls_scores = cls_embed(out_spiked).mean(axis=1)  # mean over T
-
-        mask_embed = SpikeMLP3(
-            self.out_channels, quant_const=self.alpha, spike=self.spike,
-            dtype=self.dtype, name="mask_embed")(out_spiked)
-
-        # shortcut: conv over the *query* axis + BN over queries
-        # (maskformer_head.py:152-155,576-579)
-        sc = self.alpha * Spike(self.spike, name="shortcut_spike")(out_sig)
-        w_mix = self.param(
-            "shortcut_kernel",
-            nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
-            (nq, nq))
-        sc = jnp.einsum("ltbqc,pq->ltbpc", sc, w_mix)
-        sc_t = jnp.moveaxis(sc, 3, -1)  # [..., C, nq]
-        sc_t = BatchNorm(use_running_average=not train,
-                         name="shortcut_bn")(
-            sc_t.reshape(-1, c, nq)).reshape(sc_t.shape)
-        sc = jnp.moveaxis(sc_t, -1, 3)
-        w_scale = self.param("w", nn.initializers.ones, (1,))
-        mask_embed = mask_embed + w_scale * sc
-        mask_embed = self.alpha * Spike(self.spike, name="mask_embed_spike")(
-            mask_embed)
-
-        # [L,T,B,nq,C] x [T,B,h,w,C] -> [L,B,nq,h,w]: contract (T, C) in one
-        # dot_general (== einsum('ltbqc,tbchw->ltbqhw').mean(T) of the
-        # reference :581-582, without materializing the 6-D intermediate).
-        all_mask_preds = jnp.einsum(
-            "ltbqc,tbhwc->lbqhw", mask_embed, mask_features,
-            preferred_element_type=jnp.float32) / t
-        return all_cls_scores.astype(jnp.float32), all_mask_preds
+            return cls_list[-1][None], mask_list[-1][None]
+        return jnp.stack(cls_list), jnp.stack(mask_list)
 
 
 def semantic_inference(cls_scores: jax.Array, mask_preds: jax.Array,

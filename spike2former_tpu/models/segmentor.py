@@ -62,6 +62,9 @@ class Spike2Former(nn.Module):
     # backward instead of saving activations — cuts train HBM peak (admits
     # larger per-chip batches) and most of the fwd->bwd layout-copy traffic
     remat: bool = False
+    # Mask2Former-style masked cross-attention in the decoder (per-layer
+    # mask predictions gate the next layer's keys) — see MaskFormerHead
+    masked_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -82,7 +85,7 @@ class Spike2Former(nn.Module):
             num_encoder_layers=self.num_encoder_layers,
             dcn_group=min(self.dcn_group, self.feat_channels),
             spike="qspike", compat=self.compat, remat=self.remat,
-            dtype=self.dtype)
+            masked_attention=self.masked_attention, dtype=self.dtype)
 
     def __call__(self, images: jax.Array, train: bool = False,
                  valid_hw: jax.Array | None = None):

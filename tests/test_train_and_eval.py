@@ -145,14 +145,18 @@ def test_bucketed_eval_shares_one_compilation():
     model = tiny_model()
     vars_ = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
     fn = _jitted_whole(model, True)
-    base = fn._cache_size()
     rng = np.random.default_rng(0)
+    sizes = []
     for (h, w) in [(40, 48), (56, 33)]:
         bh, bw = bucket_hw(h, w, 64)
         img = jnp.asarray(rng.integers(0, 255, (1, bh, bw, 3)), jnp.float32)
         out = fn(vars_, img, jnp.asarray([[h, w]], jnp.int32))
         assert out.shape == (1, bh, bw, 6)
-    assert fn._cache_size() == base + 1  # one bucket -> one compile
+        sizes.append(fn._cache_size())
+    # the second same-bucket shape must NOT trigger a new compilation
+    # (cache may be pre-primed by earlier tests with an equal model, so
+    # only the delta between the two calls is asserted)
+    assert sizes[1] == sizes[0], sizes
 
 
 def test_slide_matches_whole_when_single_window():
