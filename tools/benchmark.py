@@ -41,6 +41,10 @@ def main():
 
     cfg = get_config(args.config, args.cfg_options)
     cfg.model.dtype = args.dtype
+    if cfg.train.packed_residuals:
+        from spike2former_tpu.ops.spike_op import enable_packed_residuals
+
+        enable_packed_residuals(True)
     model = build_model(cfg.model)
     size = tuple(args.image_size or cfg.data.crop_size)
 
@@ -100,10 +104,15 @@ def main():
             fl = costs.get("flops", float("nan"))
             mfu = fl / dt / (args.peak_tflops * 1e12)
             flops_str = f", {fl/1e12:.2f} TFLOP/step, MFU {mfu*100:.1f}%"
+        mem_str = ""
+        stats = getattr(jax.local_devices()[0], "memory_stats", lambda: None)()
+        if stats and stats.get("peak_bytes_in_use"):
+            mem_str = (f", peak HBM "
+                       f"{stats['peak_bytes_in_use'] / 2**30:.2f} GiB")
         print(f"{cfg.name} TRAIN: {dt*1000:.2f} ms/iter, "
               f"{args.batch_size/dt:.2f} img/s (batch {args.batch_size}, "
               f"{size[0]}x{size[1]}, T={cfg.model.T}, "
-              f"accum {args.accum_steps}{flops_str})")
+              f"accum {args.accum_steps}{flops_str}{mem_str})")
         return
 
     fwd = jax.jit(lambda v, im: model.apply(
