@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import BatchNorm, RepConv, Spike, fold_t, unfold_t
+from .layers import (BatchNorm, RepConv, Spike, _packed_cgd, fold_t,
+                     unfold_t)
 
 
 class TokenConvBN(nn.Module):
@@ -339,11 +340,13 @@ class MSDAFFN(nn.Module):
             xf = jnp.swapaxes(xf, 1, 2)
 
         xf = nn.Conv(self.feedforward_channels, (1,), use_bias=True,
-                     dtype=self.dtype)(xf)
+                     dtype=self.dtype,
+                     conv_general_dilated=_packed_cgd(self.spike))(xf)
         xf = BatchNorm(use_running_average=not train)(xf)
         xf = Spike(self.spike)(xf)
         xf = nn.Conv(self.embed_dims, (1,), use_bias=True,
-                     dtype=self.dtype)(xf)
+                     dtype=self.dtype,
+                     conv_general_dilated=_packed_cgd(self.spike))(xf)
         xf = BatchNorm(use_running_average=not train)(xf)
 
         if self.compat:

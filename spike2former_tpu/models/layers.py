@@ -217,11 +217,16 @@ class RepConv(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    # preceding Spike kind when the module INPUT is a spike output —
+    # packs the first 1x1's backward residual (the later convs see
+    # BNAndPad/dw outputs, which are not quantized)
+    spike_input: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_in = x.shape[-1]
-        x = nn.Conv(c_in, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        x = nn.Conv(c_in, (1, 1), use_bias=False, dtype=self.dtype,
+                    conv_general_dilated=_packed_cgd(self.spike_input))(x)
         x = BNAndPad(pad_pixels=1)(x, train)
         x = nn.Conv(c_in, (3, 3), padding="VALID", feature_group_count=c_in,
                     use_bias=False, dtype=self.dtype)(x)

@@ -61,12 +61,14 @@ class SpikeAttention(nn.Module):
 
         def proj(feats, name):
             if self.qkv_proj == "repconv":
-                y = RepConv(feats, dtype=self.dtype, name=f"{name}_rep")(xf, train)
+                y = RepConv(feats, dtype=self.dtype, name=f"{name}_rep",
+                            spike_input=self.spike)(xf, train)
                 y = BatchNorm(use_running_average=not train,
                               name=f"{name}_bn")(y)
             else:
-                y = ConvBN(feats, (1, 1), dtype=self.dtype, name=f"{name}_conv")(
-                    xf, train)
+                y = ConvBN(feats, (1, 1), dtype=self.dtype,
+                           name=f"{name}_conv",
+                           spike_input=self.spike)(xf, train)
             return y
 
         q = Spike(self.spike)(proj(self.dim, "q"))
@@ -88,11 +90,12 @@ class SpikeAttention(nn.Module):
 
         out = Spike(self.spike)(out)
         if self.qkv_proj == "repconv":
-            out = RepConv(self.dim, dtype=self.dtype, name="proj_rep")(out, train)
+            out = RepConv(self.dim, dtype=self.dtype, name="proj_rep",
+                          spike_input=self.spike)(out, train)
             out = BatchNorm(use_running_average=not train, name="proj_bn")(out)
         else:
             out = ConvBN(self.dim, (1, 1), dtype=self.dtype,
-                         name="proj_conv")(out, train)
+                         name="proj_conv", spike_input=self.spike)(out, train)
         return unfold_t(out, t)
 
 
@@ -121,11 +124,14 @@ class CSWinSpikeAttention(nn.Module):
         xf, _ = fold_t(x)
         xf = Spike(self.spike)(xf)
         q = Spike(self.spike)(ConvBN(self.dim, (1, 1), dtype=self.dtype,
-                                     name="q_conv")(xf, train))
+                                     name="q_conv",
+                                     spike_input=self.spike)(xf, train))
         k = Spike(self.spike)(ConvBN(self.dim, (1, 1), dtype=self.dtype,
-                                     name="k_conv")(xf, train))
+                                     name="k_conv",
+                                     spike_input=self.spike)(xf, train))
         v = Spike(self.spike)(ConvBN(cv, (1, 1), dtype=self.dtype,
-                                     name="v_conv")(xf, train))
+                                     name="v_conv",
+                                     spike_input=self.spike)(xf, train))
 
         def stripe_attn(qb, kb, vb, h_num, w_num, heads):
             # [(TB), H, W, Cb] -> stripes of (H/h_num, W/w_num) tokens

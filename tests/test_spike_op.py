@@ -132,3 +132,43 @@ def test_packed_residuals_model_wiring_identical():
     assert float(val0) == float(val1)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_packed_residuals_full_model_identical():
+    """Whole Spike2Former fwd+grad must be bit-identical with packing on
+    (covers SepConv/MSMLP/DownSampling/DCN/MSDAFFN/RepConv wiring)."""
+    from spike2former_tpu.models.segmentor import Spike2Former
+    from spike2former_tpu.ops import spike_op
+
+    tiny = dict(num_classes=5, embed_dim=(8, 16, 24, 32), backbone_heads=4,
+                feat_channels=16, num_queries=4, num_decoder_layers=1,
+                num_encoder_layers=1, depths_stage3=1, depths_stage4=1,
+                dcn_group=4, T=1)
+    x = jnp.asarray(
+        np.random.default_rng(5).normal(0, 1, (2, 32, 32, 3)), jnp.float32)
+
+    def run():
+        model = Spike2Former(**tiny)
+        vs = model.init({"params": jax.random.PRNGKey(0)}, x, True)
+
+        def loss(params):
+            (cls, masks), _ = model.apply(
+                {"params": params, "batch_stats": vs["batch_stats"]},
+                x, True, mutable=["batch_stats", "spikes"])
+            return (jnp.sum(cls.astype(jnp.float32) ** 2)
+                    + jnp.sum(masks.astype(jnp.float32) ** 2))
+
+        val, grads = jax.jit(jax.value_and_grad(loss))(vs["params"])
+        return val, grads
+
+    try:
+        spike_op.enable_packed_residuals(False)
+        v0, g0 = run()
+        spike_op.enable_packed_residuals(True)
+        v1, g1 = run()
+    finally:
+        spike_op.enable_packed_residuals(False)
+
+    assert float(v0) == float(v1)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
