@@ -19,21 +19,82 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
-def save_state(work_dir: str, state: Any, step: int) -> str:
+_CKPTR: ocp.StandardCheckpointer | None = None
+
+
+def _checkpointer() -> ocp.StandardCheckpointer:
+    # one process-wide checkpointer so async saves serialize correctly
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def save_state(work_dir: str, state: Any, step: int, *,
+               wait: bool = False, keep: int | None = None) -> str:
+    """Checkpoint ``state`` as ``work_dir/ckpt_{step}``.
+
+    Async by default: orbax's blocking phase (device→host copy) runs
+    inline — safe w.r.t. donated buffers in the next train step — and
+    the file IO continues in a background thread (``wait=True`` blocks
+    until fully written; restores/final saves should wait).
+    ``keep``: retain only the newest ``keep`` checkpoints (the
+    mmengine ``max_keep_ckpts`` behavior); the current save and the
+    best-checkpoint marker are never pruned.
+    """
     path = os.path.abspath(os.path.join(work_dir, f"ckpt_{step}"))
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
+    ckptr.wait_until_finished()  # serialize with any in-flight save
     # multi-host: globally-sharded arrays are not host-fetchable; orbax
     # gathers them itself (every process must participate in save)
     host_state = jax.device_get(state) if jax.process_count() == 1 else state
     ckptr.save(path, host_state, force=True)
-    ckptr.wait_until_finished()
+    if wait or jax.process_count() > 1:
+        ckptr.wait_until_finished()
+    if keep is not None:
+        # the current save counts toward `keep` whether it has finalized
+        # (wait=True) or is still an in-flight *-tmp dir (async): prune
+        # to keep-1 among the OTHER finalized checkpoints
+        prune_checkpoints(work_dir, keep - 1, protect={path})
     return path
 
 
-def latest_checkpoint(work_dir: str) -> str | None:
+def prune_checkpoints(work_dir: str, keep: int,
+                      protect: set[str] = frozenset()) -> list[str]:
+    """Delete all but the newest ``keep`` ``ckpt_*`` dirs (by step).
+
+    Paths in ``protect`` (absolute) are excluded before counting and
+    never removed (``keep=0`` removes every unprotected checkpoint).
+    Returns the removed paths."""
+    import shutil
+
+    if keep < 0:
+        return []
+    ckpts = sorted(_list_ckpts(work_dir),
+                   key=lambda d: int(d.split("_")[1]))
+    cand = [os.path.abspath(os.path.join(work_dir, d)) for d in ckpts]
+    cand = [p for p in cand if p not in protect]
+    remove = cand[:-keep] if keep > 0 else cand
+    for path in remove:
+        shutil.rmtree(path, ignore_errors=True)
+    return remove
+
+
+def _list_ckpts(work_dir: str) -> list[str]:
+    """Finalized ``ckpt_<step>`` dirs (skips orbax ``*-tmp`` in-flight
+    dirs from async saves)."""
+    import re
+
     if not os.path.isdir(work_dir):
-        return None
-    ckpts = [d for d in os.listdir(work_dir) if d.startswith("ckpt_")]
+        return []
+    return [d for d in os.listdir(work_dir)
+            if re.fullmatch(r"ckpt_\d+", d)]
+
+
+def latest_checkpoint(work_dir: str) -> str | None:
+    if _CKPTR is not None:  # settle any in-flight async save first
+        _CKPTR.wait_until_finished()
+    ckpts = _list_ckpts(work_dir)
     if not ckpts:
         return None
     best = max(ckpts, key=lambda d: int(d.split("_")[1]))
@@ -41,6 +102,7 @@ def latest_checkpoint(work_dir: str) -> str | None:
 
 
 def restore_state(path: str, target: Any) -> Any:
+    _checkpointer().wait_until_finished()  # in-flight async save, if any
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.abspath(path), target=jax.device_get(target))
 
@@ -50,6 +112,7 @@ def restore_variables(path: str, variables: Any) -> Any:
     raw variables checkpoint or a TrainState checkpoint written by
     tools/train.py (step/params/batch_stats/opt_state) — the reference's
     ``load_from`` accepts training checkpoints the same way."""
+    _checkpointer().wait_until_finished()  # in-flight async save, if any
     ckptr = ocp.StandardCheckpointer()
     path = os.path.abspath(path)
     try:

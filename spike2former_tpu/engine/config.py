@@ -63,6 +63,7 @@ class TrainConfig:
     total_iters: int = 160_000
     val_interval: int = 2500
     checkpoint_interval: int = 10_000
+    max_keep_ckpts: int = 0           # >0: retain newest N (mmengine knob)
     max_gt: int = 64
     # EXACT loss fast path: run matching/losses with the GT axis truncated
     # to this many slots, lax.cond-ing into full max_gt width on overflow

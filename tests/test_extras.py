@@ -71,6 +71,35 @@ def test_checkpoint_roundtrip(tmp_path):
                                   [0, 1, 2, 3])
 
 
+def test_checkpoint_retention_and_async(tmp_path):
+    """Async periodic saves with max_keep_ckpts-style retention: oldest
+    pruned, newest restorable, in-flight saves serialized."""
+    import os
+
+    from spike2former_tpu.engine.checkpoint import (
+        latest_checkpoint, prune_checkpoints, restore_state, save_state)
+
+    wd = str(tmp_path)
+    for step in (1, 2):
+        state = {"params": {"w": jnp.full((4,), float(step))}}
+        save_state(wd, state, step, keep=2)  # async
+    state3 = {"params": {"w": jnp.full((4,), 3.0)}}
+    save_state(wd, state3, 3, keep=2, wait=True)
+
+    names = sorted(d for d in os.listdir(wd) if d.startswith("ckpt_"))
+    assert names == ["ckpt_2", "ckpt_3"], names
+    assert latest_checkpoint(wd).endswith("ckpt_3")
+    restored = restore_state(os.path.join(wd, "ckpt_2"), state3)
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]), 2.0)
+
+    # direct prune: protect wins over age
+    save_state(wd, state3, 4, wait=True)
+    protected = os.path.join(wd, "ckpt_2")
+    removed = prune_checkpoints(wd, 1, protect={protected})
+    left = sorted(d for d in os.listdir(wd) if d.startswith("ckpt_"))
+    assert left == ["ckpt_2", "ckpt_4"], (left, removed)
+
+
 def test_torch_conv_conversion():
     import torch
 

@@ -207,7 +207,10 @@ def main():
                   flush=True)
             slog.log(i + 1, sec_per_iter=dt, **m)
         if (i + 1) % cfg.train.checkpoint_interval == 0:
-            save_state(work_dir, state, i + 1)
+            # async save (device->host copy inline, IO in background);
+            # retention per max_keep_ckpts
+            save_state(work_dir, state, i + 1,
+                       keep=cfg.train.max_keep_ckpts or None)
         if (args.eval_images and cfg.train.val_interval and not panoptic
                 and (i + 1) % cfg.train.val_interval == 0):
             miou = evaluate(cfg, model, state, args.eval_images)
@@ -216,8 +219,12 @@ def main():
             slog.log(i + 1, mIoU=miou)
             if miou > best_miou:
                 best_miou = miou
-                save_state(work_dir, state, i + 1)  # save_best='mIoU'
-    save_state(work_dir, state, cfg.train.total_iters)
+                # save_best='mIoU' — separate best/ subdir so retention
+                # pruning and resume (latest ckpt_*) never touch it;
+                # keep=1 replaces the previous best (mmengine behavior)
+                save_state(os.path.join(work_dir, "best"), state, i + 1,
+                           keep=1)
+    save_state(work_dir, state, cfg.train.total_iters, wait=True)
     if loader is not None:
         loader.close()
 
