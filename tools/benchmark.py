@@ -97,13 +97,26 @@ def main():
         dt = (time.time() - t0) / args.num_iters
         flops_str = ""
         if args.mfu:
-            from spike2former_tpu.utils.flops import cost_analysis
+            from spike2former_tpu.utils.flops import (cost_analysis,
+                                                      dcn_sampling_flops)
 
             costs = cost_analysis(lambda s, i, g: step(s, i, g),
                                   state, x, sem)
             fl = costs.get("flops", float("nan"))
             mfu = fl / dt / (args.peak_tflops * 1e12)
             flops_str = f", {fl/1e12:.2f} TFLOP/step, MFU {mfu*100:.1f}%"
+            if (jax.default_backend() == "tpu"
+                    and cfg.model.kind == "maskformer"):
+                pfl = dcn_sampling_flops(
+                    args.batch_size, size,
+                    num_layers=cfg.model.num_encoder_layers,
+                    group=min(cfg.model.dcn_group, cfg.model.feat_channels),
+                    group_channels=cfg.model.feat_channels
+                    // min(cfg.model.dcn_group, cfg.model.feat_channels),
+                    train=True) * args.accum_steps
+                mfu2 = (fl + pfl) / dt / (args.peak_tflops * 1e12)
+                flops_str += (f" [Pallas sampling est {pfl/1e12:.2f} TFLOP"
+                              f" → MFU {mfu2*100:.1f}% if uncounted]")
         mem_str = ""
         stats = getattr(jax.local_devices()[0], "memory_stats", lambda: None)()
         if stats and stats.get("peak_bytes_in_use"):
@@ -129,7 +142,8 @@ def main():
     fps = args.batch_size / dt
     flops_str = ""
     if args.mfu:
-        from spike2former_tpu.utils.flops import cost_analysis
+        from spike2former_tpu.utils.flops import (cost_analysis,
+                                                  dcn_sampling_flops)
 
         costs = cost_analysis(
             lambda v, im: model.apply(v, im,
@@ -138,6 +152,15 @@ def main():
         fl = costs.get("flops", float("nan"))
         mfu = fl / dt / (args.peak_tflops * 1e12)
         flops_str = f", {fl/1e12:.2f} TFLOP/fwd, MFU {mfu*100:.1f}%"
+        if jax.default_backend() == "tpu" and cfg.model.kind == "maskformer":
+            g = min(cfg.model.dcn_group, cfg.model.feat_channels)
+            pfl = dcn_sampling_flops(
+                args.batch_size, size,
+                num_layers=cfg.model.num_encoder_layers, group=g,
+                group_channels=cfg.model.feat_channels // g)
+            mfu2 = (fl + pfl) / dt / (args.peak_tflops * 1e12)
+            flops_str += (f" [Pallas sampling est {pfl/1e12:.2f} TFLOP"
+                          f" → MFU {mfu2*100:.1f}% if uncounted]")
     print(f"{cfg.name}: {dt*1000:.2f} ms/iter, {fps:.2f} img/s "
           f"(batch {args.batch_size}, {size[0]}x{size[1]}, "
           f"T={cfg.model.T}{flops_str})")
