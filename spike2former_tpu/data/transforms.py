@@ -243,6 +243,136 @@ def random_rotate(sample: Sample, rng: np.random.Generator,
     return out
 
 
+def random_cutout(sample: Sample, rng: np.random.Generator,
+                  prob: float = 0.5, n_holes: tuple[int, int] = (1, 3),
+                  cutout_ratio: tuple[float, float] = (0.1, 0.3),
+                  fill_in: tuple[int, int, int] = (0, 0, 0),
+                  seg_fill_in: int | None = 255) -> Sample:
+    """RandomCutOut (mmseg transforms.py RandomCutOut): erase 1-3 random
+    rectangles, filling the image with ``fill_in`` and (optionally) the
+    seg map with ignore."""
+    if rng.uniform() >= prob:
+        return sample
+    out = dict(sample)
+    img = sample["image"].copy()
+    seg = (None if sample.get("sem_seg") is None
+           else sample["sem_seg"].copy())
+    h, w = img.shape[:2]
+    for _ in range(int(rng.integers(n_holes[0], n_holes[1] + 1))):
+        ch = int(h * rng.uniform(*cutout_ratio))
+        cw = int(w * rng.uniform(*cutout_ratio))
+        y0 = int(rng.integers(0, max(h - ch, 0) + 1))
+        x0 = int(rng.integers(0, max(w - cw, 0) + 1))
+        img[y0:y0 + ch, x0:x0 + cw] = fill_in
+        if seg is not None and seg_fill_in is not None:
+            seg[y0:y0 + ch, x0:x0 + cw] = seg_fill_in
+    out["image"] = img
+    if seg is not None:
+        out["sem_seg"] = seg
+    return out
+
+
+def mosaic(samples: list[Sample], rng: np.random.Generator,
+           img_scale: tuple[int, int] = (512, 512),
+           center_ratio_range: tuple[float, float] = (0.5, 1.5),
+           pad_val: int = 0, seg_pad_val: int = 255) -> Sample:
+    """RandomMosaic (mmseg transforms.py RandomMosaic): stitch 4 samples
+    into a (2*H, 2*W) canvas around a random center; each quadrant is
+    filled with the (cropped) corresponding image, the rest padded."""
+    assert len(samples) == 4, "mosaic needs exactly 4 samples"
+    hs, ws = img_scale
+    canvas = np.full((2 * hs, 2 * ws, 3), pad_val, np.uint8)
+    seg_canvas = np.full((2 * hs, 2 * ws), seg_pad_val, np.int32)
+    cy = int(rng.uniform(*center_ratio_range) * hs)
+    cx = int(rng.uniform(*center_ratio_range) * ws)
+
+    for i, s in enumerate(samples):
+        img = s["image"]
+        h, w = img.shape[:2]
+        if i == 0:    # top-left: bottom-right corner at center
+            y1, x1 = max(cy - h, 0), max(cx - w, 0)
+            y2, x2 = cy, cx
+            sy, sx = h - (y2 - y1), w - (x2 - x1)
+            crop = (slice(sy, h), slice(sx, w))
+        elif i == 1:  # top-right
+            y1, x1 = max(cy - h, 0), cx
+            y2, x2 = cy, min(cx + w, 2 * ws)
+            crop = (slice(h - (y2 - y1), h), slice(0, x2 - x1))
+        elif i == 2:  # bottom-left
+            y1, x1 = cy, max(cx - w, 0)
+            y2, x2 = min(cy + h, 2 * hs), cx
+            crop = (slice(0, y2 - y1), slice(w - (x2 - x1), w))
+        else:         # bottom-right
+            y1, x1 = cy, cx
+            y2, x2 = min(cy + h, 2 * hs), min(cx + w, 2 * ws)
+            crop = (slice(0, y2 - y1), slice(0, x2 - x1))
+        canvas[y1:y2, x1:x2] = img[crop]
+        if s.get("sem_seg") is not None:
+            seg_canvas[y1:y2, x1:x2] = s["sem_seg"][crop]
+
+    meta = dict(samples[0].get("meta", {}),
+                img_shape=(2 * hs, 2 * ws))
+    return {"image": canvas, "sem_seg": seg_canvas, "meta": meta}
+
+
+def clahe(sample: Sample, clip_limit: float = 40.0,
+          tile_grid_size: tuple[int, int] = (8, 8)) -> Sample:
+    """CLAHE (mmseg transforms.py CLAHE / cv2.createCLAHE semantics):
+    per-channel contrast-limited adaptive histogram equalization —
+    per-tile clipped histograms with uniform redistribution of the
+    excess, bilinear interpolation of the tile mappings."""
+    img = sample["image"]
+    th, tw = tile_grid_size
+    h, w = img.shape[:2]
+    out = np.empty_like(img)
+    # tile boundaries (cv2 uses ceil-division tile sizes)
+    ys = np.linspace(0, h, th + 1).astype(int)
+    xs = np.linspace(0, w, tw + 1).astype(int)
+    # tile centers for interpolation
+    cy = (ys[:-1] + ys[1:]) / 2.0
+    cx = (xs[:-1] + xs[1:]) / 2.0
+
+    for c in range(img.shape[2]):
+        chan = img[..., c]
+        # per-tile clipped-equalization LUTs [th, tw, 256]
+        luts = np.empty((th, tw, 256), np.float32)
+        for i in range(th):
+            for j in range(tw):
+                tile = chan[ys[i]:ys[i + 1], xs[j]:xs[j + 1]]
+                hist = np.bincount(tile.reshape(-1), minlength=256
+                                   ).astype(np.float64)
+                n = tile.size
+                # cv2 scales clip_limit by tile_area/256
+                clip = max(clip_limit * n / 256.0, 1.0)
+                excess = np.clip(hist - clip, 0, None).sum()
+                hist = np.minimum(hist, clip) + excess / 256.0
+                cdf = hist.cumsum()
+                luts[i, j] = cdf / max(cdf[-1], 1.0) * 255.0
+
+        # bilinear interpolation of LUT outputs between tile centers
+        yy = np.arange(h, dtype=np.float64)
+        xx = np.arange(w, dtype=np.float64)
+        iy = np.clip(np.searchsorted(cy, yy) - 1, 0, th - 2)
+        ix = np.clip(np.searchsorted(cx, xx) - 1, 0, tw - 2)
+        fy = np.clip((yy - cy[iy]) / np.maximum(cy[iy + 1] - cy[iy], 1e-9),
+                     0.0, 1.0)[:, None]
+        fx = np.clip((xx - cx[ix]) / np.maximum(cx[ix + 1] - cx[ix], 1e-9),
+                     0.0, 1.0)[None, :]
+        iyg = iy[:, None]
+        ixg = ix[None, :]
+        v00 = luts[iyg, ixg, chan]
+        v01 = luts[iyg, ixg + 1, chan]
+        v10 = luts[iyg + 1, ixg, chan]
+        v11 = luts[iyg + 1, ixg + 1, chan]
+        val = ((1 - fy) * (1 - fx) * v00 + (1 - fy) * fx * v01
+               + fy * (1 - fx) * v10 + fy * fx * v11)
+        out[..., c] = np.clip(np.rint(val), 0, 255).astype(np.uint8)
+
+    res = dict(sample)
+    res["image"] = out
+    return res
+
+
 def pad_to(sample: Sample, size: tuple[int, int], pad_val: int = 0,
            seg_pad_val: int = 255) -> Sample:
     """Bottom-right pad image & seg to a static size (mmseg stack_batch)."""
