@@ -56,6 +56,10 @@ class DataConfig:
 @dataclass
 class TrainConfig:
     base_lr: float = 1e-3
+    # mmengine auto_scale_lr (ade20k config :212): when enabled, base_lr
+    # is scaled linearly by global_batch / auto_scale_lr_base_batch
+    auto_scale_lr: bool = False
+    auto_scale_lr_base_batch: int = 48
     weight_decay: float = 0.005
     backbone_lr_mult: float = 0.1
     clip_norm: float = 0.01

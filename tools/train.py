@@ -136,8 +136,17 @@ def main():
     rng0 = jax.random.PRNGKey(cfg.train.seed)
     params0 = model.init({"params": rng0, "dropout": rng0}, sample,
                          True)["params"]
+    base_lr = cfg.train.base_lr
+    if cfg.train.auto_scale_lr:
+        # linear scaling rule vs the recipe's base batch (mmengine
+        # auto_scale_lr, ade20k config :212; batch_size is GLOBAL here)
+        scale = cfg.data.batch_size * cfg.train.accum_steps \
+            / cfg.train.auto_scale_lr_base_batch
+        base_lr = cfg.train.base_lr * scale
+        print(f"auto_scale_lr: base_lr {cfg.train.base_lr} -> {base_lr} "
+              f"(x{scale:.3f})")
     tx = make_optimizer(
-        params0, base_lr=cfg.train.base_lr,
+        params0, base_lr=base_lr,
         weight_decay=cfg.train.weight_decay,
         backbone_lr_mult=cfg.train.backbone_lr_mult,
         clip_norm=cfg.train.clip_norm,
