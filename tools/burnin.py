@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--num-classes", type=int, default=150)
     ap.add_argument("--T", type=int, default=1)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--packed-residuals", action="store_true",
+                    help="packed 4-bit spike residuals (ops/spike_op.py)")
     ap.add_argument("--ckpt-every", type=int, default=1000)
     ap.add_argument("--resume-at", type=int, default=0,
                     help="simulate a failure at this step: rebuild state "
@@ -67,6 +69,11 @@ def main():
     from spike2former_tpu.engine.checkpoint import (
         latest_checkpoint, restore_state, save_state)
     from spike2former_tpu.models import Spike2Former
+
+    if args.packed_residuals:
+        from spike2former_tpu.ops.spike_op import enable_packed_residuals
+
+        enable_packed_residuals(True)
 
     os.makedirs(args.work_dir, exist_ok=True)
     tiny_kw = dict(embed_dim=(8, 16, 24, 32), backbone_heads=4,
@@ -150,6 +157,10 @@ def main():
             log.flush()
 
     dt = time.time() - t0
+    if not losses:  # steps < log_every: summarize from the final metrics
+        m = {k: float(v) for k, v in metrics.items()}
+        losses.append(m["total"])
+        gnorms.append(m["grad_norm"])
     n = max(len(losses) // 10, 1)
     print(json.dumps({
         "steps": args.steps,
