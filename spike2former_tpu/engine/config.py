@@ -82,6 +82,14 @@ class TrainConfig:
     # equivalence) — the documented fast path, NOT the default.
     loss_at: str = "gt"
     accum_steps: int = 1              # grad accumulation (global batch 48)
+    # Point-sampled matching/mask losses (the Mask2Former training
+    # ingredient, mmdet/models/utils/point_sample.py +
+    # mask2former_track_head.py:300-436).  0 = off (exact loss_at path);
+    # 12544 = the upstream Mask2Former recipe.  GT-fidelity supervision at
+    # ~num_points/(512^2) of the exact path's mask-loss cost.
+    loss_points: int = 0
+    loss_points_oversample: float = 3.0
+    loss_points_importance: float = 0.75
     # Save Spike→Conv activations for backward as packed 4-bit codes
     # instead of bf16/f32 (ops/spike_op.py — the reference spike_op.py's
     # compact spike caching).  Bit-identical gradients; cuts BPTT

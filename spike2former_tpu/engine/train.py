@@ -43,7 +43,9 @@ def init_state(model: Spike2Former, tx: optax.GradientTransformation,
 def make_train_step(model: Spike2Former, tx: optax.GradientTransformation,
                     num_classes: int, max_gt: int = 64,
                     matcher: str = "auction", loss_at: str = "gt",
-                    accum_steps: int = 1, compact_gt: int = 32):
+                    accum_steps: int = 1, compact_gt: int = 32,
+                    num_points: int = 0, oversample_ratio: float = 3.0,
+                    importance_sample_ratio: float = 0.75, seed: int = 0):
     """Returns ``train_step(state, images_u8, sem_seg) -> (state, metrics)``.
 
     images_u8: [B, H, W, 3] RGB; sem_seg: [B, H, W] int32 class map with 255
@@ -54,9 +56,14 @@ def make_train_step(model: Spike2Former, tx: optax.GradientTransformation,
     update) — how a single chip reaches the reference's global batch 48
     (configs ...ade20k.py:181-182) without 48 activations in HBM.  The
     microbatch loop is a ``lax.scan``, so compile time stays flat.
+
+    ``num_points > 0`` trains with the Mask2Former point-sampled
+    matching/mask losses (losses/point_sample.py; upstream K=12544) —
+    point coords derive from ``fold_in(seed, step)``, so runs are
+    reproducible and resume-stable.
     """
 
-    def loss_fn(params, batch_stats, images, sem_seg):
+    def loss_fn(params, batch_stats, images, sem_seg, rng):
         x = preprocess(images)
         (cls_scores, mask_preds), updates = model.apply(
             {"params": params, "batch_stats": batch_stats}, x, True,
@@ -65,34 +72,41 @@ def make_train_step(model: Spike2Former, tx: optax.GradientTransformation,
         losses = maskformer_loss(
             cls_scores, mask_preds, gt, num_classes=num_classes,
             matcher=matcher, loss_at=loss_at,
-            compact_gt=compact_gt or None)
+            compact_gt=compact_gt or None,
+            num_points=num_points, oversample_ratio=oversample_ratio,
+            importance_sample_ratio=importance_sample_ratio, rng=rng)
         losses["dropped_gt"] = gt.dropped.sum().astype(jnp.float32)
         return losses["total"], (losses, updates["batch_stats"])
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def train_step(state: TrainState, images, sem_seg):  # noqa: C901
+        rng = (jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
+               if num_points else None)
         if accum_steps == 1:
             (_, (losses, new_stats)), grads = grad_fn(
-                state.params, state.batch_stats, images, sem_seg)
+                state.params, state.batch_stats, images, sem_seg, rng)
         else:
             b = images.shape[0]
             assert b % accum_steps == 0, (b, accum_steps)
             mb = b // accum_steps
             im_s = images.reshape(accum_steps, mb, *images.shape[1:])
             seg_s = sem_seg.reshape(accum_steps, mb, *sem_seg.shape[1:])
+            mb_idx = jnp.arange(accum_steps, dtype=jnp.uint32)
 
             def body(carry, xs):
                 stats, grad_acc = carry
+                mb_rng = (jax.random.fold_in(rng, xs[2])
+                          if num_points else None)
                 (_, (losses, stats)), grads = grad_fn(
-                    state.params, stats, xs[0], xs[1])
+                    state.params, stats, xs[0], xs[1], mb_rng)
                 grad_acc = jax.tree_util.tree_map(
                     jnp.add, grad_acc, grads)
                 return (stats, grad_acc), losses
 
             zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
             (new_stats, grads), losses_s = jax.lax.scan(
-                body, (state.batch_stats, zero), (im_s, seg_s))
+                body, (state.batch_stats, zero), (im_s, seg_s, mb_idx))
             grads = jax.tree_util.tree_map(
                 lambda g: g / accum_steps, grads)
             losses = jax.tree_util.tree_map(
@@ -162,7 +176,11 @@ def make_train_step_fpn(model, tx: optax.GradientTransformation,
 def make_train_step_panoptic(model: Spike2Former,
                              tx: optax.GradientTransformation,
                              num_classes: int, matcher: str = "auction",
-                             loss_at: str = "gt", compact_gt: int = 32):
+                             loss_at: str = "gt", compact_gt: int = 32,
+                             num_points: int = 0,
+                             oversample_ratio: float = 3.0,
+                             importance_sample_ratio: float = 0.75,
+                             seed: int = 0):
     """Panoptic training step: GT arrives as padded instance targets
     (labels [B, G], masks [B, G, H, W], valid [B, G]) built by
     ``data.panoptic.panoptic_train_batches`` — things keep instance
@@ -171,7 +189,7 @@ def make_train_step_panoptic(model: Spike2Former,
     path."""
     from ..losses.criterion import GroundTruth, slot_map_from_masks
 
-    def loss_fn(params, batch_stats, images, labels, masks, valid):
+    def loss_fn(params, batch_stats, images, labels, masks, valid, rng):
         x = preprocess(images)
         (cls_scores, mask_preds), updates = model.apply(
             {"params": params, "batch_stats": batch_stats}, x, True,
@@ -183,14 +201,19 @@ def make_train_step_panoptic(model: Spike2Former,
         losses = maskformer_loss(
             cls_scores, mask_preds, gt, num_classes=num_classes,
             matcher=matcher, loss_at=loss_at,
-            compact_gt=compact_gt or None)
+            compact_gt=compact_gt or None,
+            num_points=num_points, oversample_ratio=oversample_ratio,
+            importance_sample_ratio=importance_sample_ratio, rng=rng)
         return losses["total"], (losses, updates["batch_stats"])
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def train_step(state: TrainState, images, labels, masks, valid):
+        rng = (jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
+               if num_points else None)
         (_, (losses, new_stats)), grads = grad_fn(
-            state.params, state.batch_stats, images, labels, masks, valid)
+            state.params, state.batch_stats, images, labels, masks, valid,
+            rng)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {k: v for k, v in losses.items()}

@@ -5,6 +5,8 @@ from .matcher import (
 )
 from .criterion import (GroundTruth, semantic_to_instances, maskformer_loss,
                         classification_targets)
+from .point_sample import (point_sample, point_sample_slot,
+                           uncertain_point_coords, get_uncertainty)
 from .pixel import (
     pixel_cross_entropy, pixel_accuracy, lovasz_softmax_loss,
     lovasz_hinge_loss, tversky_loss, boundary_loss, ohem_cross_entropy,
@@ -17,6 +19,8 @@ __all__ = [
     "match_costs", "hungarian_host", "auction_match",
     "GroundTruth", "semantic_to_instances", "maskformer_loss",
     "classification_targets",
+    "point_sample", "point_sample_slot", "uncertain_point_coords",
+    "get_uncertainty",
     "pixel_cross_entropy", "pixel_accuracy", "lovasz_softmax_loss",
     "lovasz_hinge_loss", "tversky_loss", "boundary_loss",
     "ohem_cross_entropy", "hausdorff_distance_loss", "edt_sq",

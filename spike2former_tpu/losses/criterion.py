@@ -34,6 +34,8 @@ import jax.numpy as jnp
 from ..ops.resize import resize_bilinear, resize_nearest_torch
 from .losses import dice_loss, sigmoid_focal_loss, weighted_cross_entropy
 from .matcher import auction_match, hungarian_host, match_costs
+from .point_sample import (point_sample, point_sample_slot,
+                           uncertain_point_coords)
 
 
 class GroundTruth(NamedTuple):
@@ -250,7 +252,8 @@ def _layer_loss(cls_scores, mask_preds, matched_q, gt: GroundTruth,
                 gt_ds, slot_ds, *,
                 num_classes: int, class_weight,
                 focal_weight: float, dice_weight: float,
-                num_total_masks, loss_at: str = "pred"
+                num_total_masks, loss_at: str = "pred",
+                point_cfg: tuple | None = None, rng=None
                 ) -> dict[str, jax.Array]:
     """Loss for one decoder layer, given its (precomputed) assignment.
 
@@ -264,6 +267,16 @@ def _layer_loss(cls_scores, mask_preds, matched_q, gt: GroundTruth,
     computes mask losses at prediction resolution with nearest-downsampled
     GT — numerically near-identical gradients at ~4x less HBM, the same
     trade Mask2Former makes with point sampling.
+
+    ``point_cfg = (num_points, oversample, importance)`` switches the mask
+    losses to the Mask2Former point-sampled recipe
+    (mask2former_track_head.py:405-436): per matched pair, sample
+    ``num_points`` uncertainty-importance points from the prediction (under
+    stop_gradient), evaluate dice (avg_factor num_total_masks) and the
+    focal mask loss (avg_factor num_total_masks * num_points) on the
+    bilinearly point-sampled pred/GT values.  GT is sampled at its native
+    resolution, so this is GT-fidelity supervision at ~num_points/(gh*gw)
+    of the exact path's cost.
     """
     b, nq = cls_scores.shape[:2]
     g = gt.labels.shape[1]
@@ -281,6 +294,28 @@ def _layer_loss(cls_scores, mask_preds, matched_q, gt: GroundTruth,
     pred_at_gt = jax.vmap(
         lambda mp, q: mp[q])(mask_preds, safe_q)  # [B, G, h, w]
     pair_w = (gt.valid & (matched_q >= 0)).astype(jnp.float32)  # [B, G]
+
+    if point_cfg is not None:
+        n_pts, osr, imp = point_cfg
+        # coords under no_grad (reference :409-414), per matched pair
+        coords = uncertain_point_coords(
+            rng, jax.lax.stop_gradient(pred_at_gt.astype(jnp.float32)),
+            n_pts, osr, imp)  # [B, G, P, 2]
+        pred_pts = point_sample(pred_at_gt, coords)  # [B, G, P]
+        if gt.masks is None:
+            tgt_pts = point_sample_slot(gt.slot_map, g, coords)
+        else:
+            tgt_pts = point_sample(gt.masks, coords)
+        tgt_pts = jax.lax.stop_gradient(tgt_pts)
+        loss_dice = dice_loss(
+            pred_pts.reshape(b * g, n_pts), tgt_pts.reshape(b * g, n_pts),
+            weight=pair_w.reshape(-1), eps=1.0, naive=True, activate=True,
+            avg_factor=num_total_masks)
+        loss_focal = sigmoid_focal_loss(
+            pred_pts, tgt_pts, weight=pair_w[..., None],
+            avg_factor=num_total_masks * n_pts)
+        return dict(loss_cls=loss_cls, loss_mask=loss_focal * focal_weight,
+                    loss_dice=loss_dice * dice_weight)
 
     if (loss_at == "gt" and slot_ds is not None
             and gh % h == 0 and gw % w == 0 and (gh > h or gw > w)):
@@ -342,6 +377,10 @@ def maskformer_loss(
     matcher: str = "host",
     loss_at: str = "pred",
     compact_gt: int | None = None,
+    num_points: int = 0,
+    oversample_ratio: float = 3.0,
+    importance_sample_ratio: float = 0.75,
+    rng: jax.Array | None = None,
 ) -> dict[str, jax.Array]:
     """Deep-supervised loss over all decoder layers (loss_by_feat :367-408).
 
@@ -360,16 +399,25 @@ def maskformer_loss(
     overflow, so the result is bit-identical to ``compact_gt=None`` for
     every input; the host matcher is excluded (pure_callback inside cond
     branches is not supported on all backends).
+
+    ``num_points > 0`` switches matching costs and mask losses to the
+    point-sampled Mask2Former recipe (see ``_layer_loss`` and
+    losses/point_sample.py; upstream K = 12544, oversample 3.0,
+    importance 0.75) — requires ``rng``.
     """
     if loss_at not in ("pred", "gt"):
         raise ValueError(f"loss_at must be 'pred' or 'gt', got {loss_at!r}")
+    if num_points and rng is None:
+        raise ValueError("num_points > 0 requires an rng key")
     g_full = gt.labels.shape[1]
     if (compact_gt is not None and compact_gt < g_full
             and matcher != "host"):
         gc = compact_gt
         kw = dict(num_classes=num_classes, bg_class_weight=bg_class_weight,
                   focal_weight=focal_weight, dice_weight=dice_weight,
-                  matcher=matcher, loss_at=loss_at)
+                  matcher=matcher, loss_at=loss_at,
+                  num_points=num_points, oversample_ratio=oversample_ratio,
+                  importance_sample_ratio=importance_sample_ratio, rng=rng)
 
         # prefix-valid ordering makes "any valid slot beyond gc" the exact
         # overflow predicate even for producers that don't sort (panoptic
@@ -406,18 +454,22 @@ def maskformer_loss(
     h, w = all_mask_preds.shape[-2:]
 
     # ---- downsampled targets at mask resolution ----
+    # (point mode samples GT at native resolution instead — the dense
+    # mask-resolution stack is never built)
     slot_mode = gt.masks is None
+    slot_ds = gt_ds = gt_cost = None
     if slot_mode:
-        slot_ds = resize_nearest_torch(
-            gt.slot_map[..., None], (h, w))[..., 0]  # [B, h, w] int32
-        slots = jnp.arange(g, dtype=jnp.int32)
-        gt_cost = (slot_ds[:, None] == slots[None, :, None, None]).astype(
-            all_mask_preds.dtype)
-        gt_ds = None
+        if not num_points:
+            slot_ds = resize_nearest_torch(
+                gt.slot_map[..., None], (h, w))[..., 0]  # [B, h, w] int32
+            slots = jnp.arange(g, dtype=jnp.int32)
+            gt_cost = (slot_ds[:, None]
+                       == slots[None, :, None, None]).astype(
+                all_mask_preds.dtype)
     else:
-        slot_ds = None
-        gt_ds = resize_nearest_torch(gt.masks[..., None], (h, w))[..., 0]
-        gt_cost = gt_ds
+        if not num_points:
+            gt_ds = resize_nearest_torch(gt.masks[..., None], (h, w))[..., 0]
+            gt_cost = gt_ds
 
     # ---- matching, ALL layers in one assignment call ----
     # Every decoder layer is matched independently (the reference's
@@ -431,18 +483,51 @@ def maskformer_loss(
     cost_fn = jax.vmap(functools.partial(
         match_costs, focal_weight=focal_weight, dice_weight=dice_weight))
 
-    def cost_body(_, cm):
-        cls_l, mask_l = cm
-        c = cost_fn(cls_l, mask_l, gt.labels, gt_cost, gt.valid)
-        return None, jax.lax.stop_gradient(c)
+    if num_points:
+        # point-sampled matching (mask2former_track_head.py:300-319): ONE
+        # shared uniform point set per image per layer; pred and GT masks
+        # are bilinearly point-sampled and the cost formulas run on the
+        # [*, P] point vectors instead of [*, h*w] pixels
+        match_keys = jax.random.split(
+            jax.random.fold_in(rng, 0), num_layers)
+        loss_keys = jax.random.split(
+            jax.random.fold_in(rng, 1), num_layers)
+        nq = all_mask_preds.shape[2]
 
-    _, costs = jax.lax.scan(
-        cost_body, None, (all_cls_scores, all_mask_preds))  # [L, B, nq, G]
+        def cost_body(_, cm):
+            cls_l, mask_l, key_l = cm
+            coords = jax.random.uniform(
+                key_l, (b, num_points, 2), jnp.float32)
+            pred_pts = point_sample(
+                mask_l, jnp.broadcast_to(coords[:, None],
+                                         (b, nq, num_points, 2)))
+            if slot_mode:
+                gt_pts = point_sample_slot(gt.slot_map, g, coords)
+            else:
+                gt_pts = point_sample(
+                    gt.masks, jnp.broadcast_to(coords[:, None],
+                                               (b, g, num_points, 2)))
+            c = cost_fn(cls_l, pred_pts, gt.labels, gt_pts, gt.valid)
+            return None, jax.lax.stop_gradient(c)
+
+        _, costs = jax.lax.scan(
+            cost_body, None,
+            (all_cls_scores, all_mask_preds, match_keys))  # [L, B, nq, G]
+    else:
+        def cost_body(_, cm):
+            cls_l, mask_l = cm
+            c = cost_fn(cls_l, mask_l, gt.labels, gt_cost, gt.valid)
+            return None, jax.lax.stop_gradient(c)
+
+        _, costs = jax.lax.scan(
+            cost_body, None,
+            (all_cls_scores, all_mask_preds))  # [L, B, nq, G]
     costs = costs.reshape(num_layers * b, -1, g)
     if matcher == "host":
         all_matched = hungarian_host(costs)  # one host round-trip, not L
+        repaired = jnp.zeros((), jnp.int32)
     else:
-        all_matched = auction_match(costs)
+        all_matched, repaired = auction_match(costs, with_stats=True)
     all_matched = all_matched.reshape(num_layers, b, g)
     all_matched = jnp.where(gt.valid[None], all_matched, -1)
 
@@ -450,7 +535,9 @@ def maskformer_loss(
         _layer_loss, gt=gt, gt_ds=gt_ds, slot_ds=slot_ds,
         num_classes=num_classes, class_weight=class_weight,
         focal_weight=focal_weight, dice_weight=dice_weight,
-        num_total_masks=num_total, loss_at=loss_at)
+        num_total_masks=num_total, loss_at=loss_at,
+        point_cfg=((num_points, oversample_ratio, importance_sample_ratio)
+                   if num_points else None))
 
     # One scan over decoder layers: the loss body is traced and compiled
     # ONCE instead of L times.  The body is rematerialized: without
@@ -459,13 +546,23 @@ def maskformer_loss(
     # layer's buffers live at a time.
     layer_fn_ckpt = jax.checkpoint(layer_fn)
 
-    def body(_, inputs):
-        cls_l, mask_l, matched_l = inputs
-        li = layer_fn_ckpt(cls_l, mask_l, matched_l)
-        return None, li
+    if num_points:
+        def body(_, inputs):
+            cls_l, mask_l, matched_l, key_l = inputs
+            li = layer_fn_ckpt(cls_l, mask_l, matched_l, rng=key_l)
+            return None, li
 
-    _, stacked = jax.lax.scan(
-        body, None, (all_cls_scores, all_mask_preds, all_matched))
+        _, stacked = jax.lax.scan(
+            body, None,
+            (all_cls_scores, all_mask_preds, all_matched, loss_keys))
+    else:
+        def body(_, inputs):
+            cls_l, mask_l, matched_l = inputs
+            li = layer_fn_ckpt(cls_l, mask_l, matched_l)
+            return None, li
+
+        _, stacked = jax.lax.scan(
+            body, None, (all_cls_scores, all_mask_preds, all_matched))
 
     losses: dict[str, jax.Array] = {}
     for k in ("loss_cls", "loss_mask", "loss_dice"):
@@ -473,9 +570,12 @@ def maskformer_loss(
         for i in range(num_layers - 1):
             losses[f"d{i}.{k}"] = stacked[k][i]
     losses["total"] = sum(jnp.sum(v) for v in stacked.values())
-    # observability: valid GT columns the assignment left unmatched
-    # (auction iteration-cap edge; 0 in normal operation) — these pairs
-    # contribute no mask loss this step
+    # observability: valid GT columns the assignment left unmatched —
+    # 0 in normal operation (the auction's greedy repair completes the
+    # assignment; the host matcher is always complete)
     losses["unmatched_gt"] = jnp.sum(
         (gt.valid[None] & (all_matched < 0)).astype(jnp.float32))
+    # auction iteration-cap edge: columns the raw auction missed and the
+    # greedy repair filled (matcher.py _greedy_repair)
+    losses["repaired_gt"] = repaired.astype(jnp.float32)
     return losses

@@ -107,8 +107,41 @@ def hungarian_host(costs: jax.Array) -> jax.Array:
         costs, vmap_method="sequential")
 
 
+def _greedy_repair(benefit: jax.Array, matched: jax.Array,
+                   invalid_col: jax.Array) -> jax.Array:
+    """Complete a partial assignment: every valid-but-unmatched GT column
+    takes its best still-free query, sequentially over columns.
+
+    Runs after a capped auction (see ``auction_match``): the cap can leave
+    valid columns at -1, silently dropping their mask loss for the step.
+    Repair trades the eps-optimality bound for completeness on those
+    columns only — already-matched columns are untouched, so in normal
+    operation (cap not hit) this is the identity.  G sequential steps of
+    [B, nq] argmaxes: negligible next to the auction itself.
+    """
+    b, nq, g = benefit.shape
+    rows = jnp.arange(b)
+    owned = jnp.zeros((b, nq + 1), bool).at[
+        rows[:, None], jnp.where(matched >= 0, matched, nq)
+    ].set(True)[:, :nq]
+
+    def body(j, carry):
+        matched, owned = carry
+        need = (matched[:, j] < 0) & ~invalid_col[:, j]  # [B]
+        val = jnp.where(owned, -jnp.inf, benefit[:, :, j])  # [B, nq]
+        q = jnp.argmax(val, axis=1).astype(jnp.int32)
+        matched = matched.at[:, j].set(
+            jnp.where(need, q, matched[:, j]))
+        owned = owned.at[rows, q].set(owned[rows, q] | need)
+        return matched, owned
+
+    matched, _ = jax.lax.fori_loop(0, g, body, (matched, owned))
+    return matched
+
+
 def auction_match(costs: jax.Array, num_iters: int = 600,
-                  eps: float = 0.02) -> jax.Array:
+                  eps: float = 0.02, repair: bool = True,
+                  with_stats: bool = False):
     """On-device auction assignment: costs [B, nq, G] -> [B, G] query index
     per GT column.
 
@@ -139,9 +172,12 @@ def auction_match(costs: jax.Array, num_iters: int = 600,
 
     The iteration cap only binds under adversarial bidding wars
     (two columns sharing a strong unique preference: war length
-    ~2*margin/eps); a capped run can leave valid columns unmatched
-    (-1), which the criterion surfaces via the ``unmatched_gt`` metric.
-    Deterministic, jit-friendly, no host sync — preferred under pjit.
+    ~2*margin/eps); a capped run can leave valid columns unmatched (-1).
+    With ``repair=True`` (default) a greedy completion pass then assigns
+    each such column its best free query (``_greedy_repair``), so every
+    valid GT always contributes loss; the criterion's ``unmatched_gt``
+    metric still observes the raw cap edge.  Deterministic, jit-friendly,
+    no host sync — preferred under pjit.
     """
     b, nq, g = costs.shape
     benefit = -costs.astype(jnp.float32)  # [B, nq, G]
@@ -195,4 +231,9 @@ def auction_match(costs: jax.Array, num_iters: int = 600,
     matched = matched.at[
         jnp.arange(b)[:, None], jnp.where(valid, owner, 0)
     ].max(jnp.where(valid, q_idx, -1))
-    return jnp.where(invalid_col, -1, matched)
+    raw = jnp.where(invalid_col, -1, matched)
+    out = _greedy_repair(benefit, raw, invalid_col) if repair else raw
+    if with_stats:
+        # valid columns the capped auction left unmatched (repair filled)
+        return out, jnp.sum((raw < 0) & ~invalid_col)
+    return out

@@ -371,3 +371,65 @@ def test_auction_near_optimal_tight_gaps():
         opt = c[i, :, :16].T[r, cols].sum()
         got = sum(c[i, m[i][gt], gt] for gt in range(16))
         assert got - opt <= 16 * 0.02 + 1e-5, (i, got - opt)
+
+
+def test_auction_repair_completes_capped_runs():
+    """A capped auction (num_iters too small) must still return a COMPLETE
+    assignment: greedy repair fills every valid column with a distinct free
+    query, with_stats reports how many needed it, and repair is the
+    identity when the cap doesn't bind."""
+    from spike2former_tpu.losses.matcher import BIG_COST, auction_match
+
+    rng = np.random.default_rng(1)
+    c = rng.normal(0, 1, (4, 12, 8)).astype(np.float32)
+    c[:, :, 6:] = BIG_COST  # padded columns
+
+    # cap at 1 iteration: the raw auction cannot finish 6 columns
+    m_raw, rep_raw = auction_match(jnp.asarray(c), num_iters=1,
+                                   repair=False, with_stats=True)
+    m_raw = np.asarray(m_raw)
+    assert int(rep_raw) > 0
+    assert (m_raw[:, :6] < 0).any()
+
+    m_fix, rep = auction_match(jnp.asarray(c), num_iters=1, with_stats=True)
+    m_fix = np.asarray(m_fix)
+    assert int(rep) == int(rep_raw)
+    assert (m_fix[:, 6:] == -1).all()  # padded columns stay unmatched
+    for i in range(4):
+        vq = m_fix[i, :6].tolist()
+        assert min(vq) >= 0 and len(set(vq)) == 6, vq
+        # repair preserves what the raw auction had already assigned
+        keep = m_raw[i, :6] >= 0
+        assert (m_fix[i, :6][keep] == m_raw[i, :6][keep]).all()
+
+    # uncapped run: repair is the identity (nothing to fill)
+    m_full, rep0 = auction_match(jnp.asarray(c), with_stats=True)
+    m_norep = auction_match(jnp.asarray(c), repair=False)
+    assert int(rep0) == 0
+    assert (np.asarray(m_full) == np.asarray(m_norep)).all()
+
+
+def test_auction_vs_hungarian_assignment_agreement():
+    """On realistic random cost batches the (repaired) auction agrees with
+    the exact Hungarian assignment pair-for-pair almost always; where it
+    differs the total-cost excess stays within the eps bound."""
+    from scipy.optimize import linear_sum_assignment
+
+    from spike2former_tpu.losses.matcher import BIG_COST, auction_match
+
+    rng = np.random.default_rng(2)
+    agree = total = 0
+    for trial in range(20):
+        c = rng.normal(0, 4, (2, 20, 12)).astype(np.float32)
+        c[:, :, 10:] = BIG_COST
+        m = np.asarray(auction_match(jnp.asarray(c)))
+        for i in range(2):
+            r, cols = linear_sum_assignment(c[i, :, :10].T)
+            exact = np.full(10, -1)
+            exact[r] = cols
+            agree += int((m[i, :10] == exact).sum())
+            total += 10
+            excess = (sum(c[i, m[i, g], g] for g in range(10))
+                      - c[i, :, :10].T[r, cols].sum())
+            assert excess <= 10 * 0.02 + 1e-5
+    assert agree / total >= 0.98, agree / total

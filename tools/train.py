@@ -178,14 +178,22 @@ def main():
         step_fn = jax.jit(make_train_step_panoptic(
             model, tx, num_classes=cfg.model.num_classes,
             matcher=cfg.train.matcher, loss_at=cfg.train.loss_at,
-            compact_gt=cfg.train.compact_gt),
+            compact_gt=cfg.train.compact_gt,
+            num_points=cfg.train.loss_points,
+            oversample_ratio=cfg.train.loss_points_oversample,
+            importance_sample_ratio=cfg.train.loss_points_importance,
+            seed=cfg.train.seed),
             donate_argnums=0)
     else:
         step_fn = jax.jit(make_train_step(
             model, tx, num_classes=cfg.model.num_classes,
             max_gt=cfg.train.max_gt, matcher=cfg.train.matcher,
             loss_at=cfg.train.loss_at, accum_steps=cfg.train.accum_steps,
-            compact_gt=cfg.train.compact_gt),
+            compact_gt=cfg.train.compact_gt,
+            num_points=cfg.train.loss_points,
+            oversample_ratio=cfg.train.loss_points_oversample,
+            importance_sample_ratio=cfg.train.loss_points_importance,
+            seed=cfg.train.seed),
             donate_argnums=0)
 
     from spike2former_tpu.engine.logging import ScalarLogger
@@ -215,7 +223,8 @@ def main():
                   f"loss {m['total']:.4f} {parts} {dt:.3f}s/iter",
                   flush=True)
             slog.log(i + 1, sec_per_iter=dt, **m)
-        if (i + 1) % cfg.train.checkpoint_interval == 0:
+        if (cfg.train.checkpoint_interval
+                and (i + 1) % cfg.train.checkpoint_interval == 0):
             # async save (device->host copy inline, IO in background);
             # retention per max_keep_ckpts
             save_state(work_dir, state, i + 1,
