@@ -39,6 +39,8 @@ class ModelConfig:
     norm_eval: bool = True            # freeze backbone BN in training
     collapse_t: bool = True           # skip provably-identical time steps
     masked_attention: bool = False    # Mask2Former masked cross-attention
+    decoder: str = "detr"             # 'detr' | 'dab' (DAB-DETR anchors)
+    eval_last_only: bool = True       # False = literal all-layers eval
     dtype: str = "float32"
 
 
@@ -149,7 +151,8 @@ def build_model(cfg: ModelConfig):
         depths_stage3=cfg.depths_stage3, depths_stage4=cfg.depths_stage4,
         dcn_group=cfg.dcn_group, compat=cfg.compat,
         norm_eval=cfg.norm_eval, collapse_t=cfg.collapse_t,
-        masked_attention=cfg.masked_attention, dtype=dtype)
+        masked_attention=cfg.masked_attention, decoder=cfg.decoder,
+        eval_last_only=cfg.eval_last_only, dtype=dtype)
 
 
 def apply_overrides(cfg: Config, options: list[str]) -> Config:

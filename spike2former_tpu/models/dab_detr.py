@@ -221,10 +221,12 @@ class DABDetrDecoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, query, key, key_pos, anchors, train: bool = False):
+    def __call__(self, query, key, key_pos, anchors,
+                 cross_attn_mask=None, train: bool = False):
         """query [T,B,nq,C]; key [T,B,nk,C]; key_pos [B,nk,C]; anchors
         [B,nq,query_dim] in INVERSE-sigmoid (logit) space, as the
-        reference's query_pos embedding (:194-196).
+        reference's query_pos embedding (:194-196).  ``cross_attn_mask``
+        ([B,1,1,nk] bool, True = masked) gates padded key tokens.
 
         Returns (outputs [L,T,B,nq,C], references [L,B,nq,query_dim]):
         per-layer refined queries and the sigmoid-space reference
@@ -283,7 +285,9 @@ class DABDetrDecoder(nn.Module):
                 keep_query_pos=self.keep_query_pos, spike=self.spike,
                 dtype=self.dtype, name=f"layer_{i}")(
                 output, key, query_pos, key_pos,
-                ref_sine.astype(self.dtype), is_first=(i == 0), train=train)
+                ref_sine.astype(self.dtype),
+                cross_attn_mask=cross_attn_mask,
+                is_first=(i == 0), train=train)
 
             # iterative anchor refinement in logit space, detached (:236-246)
             reg = reg_branch(output.mean(axis=0)).astype(jnp.float32)

@@ -79,6 +79,18 @@ class MaskFormerHead(nn.Module):
     # row escape).  Matches mmdet Mask2FormerHead._forward_head +
     # Mask2FormerTransformerDecoderLayer (mask2former_layers.py:188-261).
     masked_attention: bool = False
+    # Decoder stack variant: 'detr' = the Spike2Former DETR decoder
+    # (level round-robin, maskformer_head.py:551-562); 'dab' = the spiking
+    # DAB-DETR decoder with dynamic anchor-box queries (models/dab_detr.py;
+    # reference dab_detr_layers.py — inactive upstream, config-reachable
+    # here).  'dab' attends the coarsest scale level with learned anchors.
+    decoder: str = "detr"
+    # At inference the reference discards all but the last decoder layer's
+    # SDME output (mmseg shim :163-164) — but its hooks/monitors still SEE
+    # every layer go through the spike sites.  True (default) skips the
+    # discarded work; False replays the literal all-layers eval, which is
+    # what firing-rate analysis (tools/cal_firing_num.py) must measure.
+    eval_last_only: bool = True
     compat: bool = False
     remat: bool = False  # checkpoint DCN encoder layers (training memory)
     dtype: jnp.dtype = jnp.float32
@@ -201,6 +213,26 @@ class MaskFormerHead(nn.Module):
             return mask2former_attn_mask(mask_pred, hw,
                                          pad_mask=decoder_masks[lvl])
 
+        if self.decoder == "dab":
+            from .dab_detr import DABDetrDecoder
+
+            anchors = self.param(
+                "query_anchors", nn.initializers.normal(1.0), (nq, 4))
+            outputs, _refs = DABDetrDecoder(
+                embed_dims=c, num_heads=self.num_heads,
+                num_layers=self.num_decoder_layers,
+                feedforward_channels=self.decoder_ffn_channels,
+                spike=self.spike, dtype=self.dtype, name="dab_decoder")(
+                query, decoder_inputs[0], decoder_pes[0],
+                jnp.broadcast_to(anchors.astype(jnp.float32), (b, nq, 4)),
+                cross_attn_mask=decoder_masks[0], train=train)
+            out = jnp.concatenate([query[None], outputs], axis=0)
+            if not train and self.eval_last_only:
+                out = out[-1:]
+            return sdme(out)
+        if self.decoder != "detr":
+            raise ValueError(f"unknown decoder {self.decoder!r}")
+
         if not self.masked_attention:
             out_dec = [query]  # supervise the initial queries (:551-552)
             for i in range(self.num_decoder_layers):
@@ -217,7 +249,7 @@ class MaskFormerHead(nn.Module):
                 out_dec.append(query)
 
             out = jnp.stack(out_dec)  # [L+1, T, B, nq, C]
-            if not train:
+            if not train and self.eval_last_only:
                 # Deep supervision is only consumed by the loss; at
                 # inference the reference discards all but the last layer
                 # (:163-164), so skip the SDME work for the other six.
@@ -250,7 +282,7 @@ class MaskFormerHead(nn.Module):
             cls_i, mask_i = sdme(query[None])
             cls_list.append(cls_i[0])
             mask_list.append(mask_i[0])
-        if not train:
+        if not train and self.eval_last_only:
             return cls_list[-1][None], mask_list[-1][None]
         return jnp.stack(cls_list), jnp.stack(mask_list)
 

@@ -65,6 +65,12 @@ class Spike2Former(nn.Module):
     # Mask2Former-style masked cross-attention in the decoder (per-layer
     # mask predictions gate the next layer's keys) — see MaskFormerHead
     masked_attention: bool = False
+    # decoder stack: 'detr' (Spike2Former default) or 'dab' (spiking
+    # DAB-DETR dynamic anchor-box decoder, models/dab_detr.py)
+    decoder: str = "detr"
+    # False = replay the reference's literal all-layers SDME at eval
+    # (firing-rate analysis); True skips the discarded layers' work
+    eval_last_only: bool = True
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -85,7 +91,8 @@ class Spike2Former(nn.Module):
             num_encoder_layers=self.num_encoder_layers,
             dcn_group=min(self.dcn_group, self.feat_channels),
             spike="qspike", compat=self.compat, remat=self.remat,
-            masked_attention=self.masked_attention, dtype=self.dtype)
+            masked_attention=self.masked_attention, decoder=self.decoder,
+            eval_last_only=self.eval_last_only, dtype=self.dtype)
 
     def __call__(self, images: jax.Array, train: bool = False,
                  valid_hw: jax.Array | None = None):

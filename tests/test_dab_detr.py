@@ -62,8 +62,10 @@ def test_dab_decoder_forward_and_refinement(scale_type):
     key_pos = jnp.asarray(rng.normal(0, 1, (b, nk, c)), jnp.float32)
     anchors = jnp.asarray(rng.normal(0, 0.5, (b, nq, 4)), jnp.float32)
 
-    vs = dec.init(jax.random.PRNGKey(0), query, key, key_pos, anchors, True)
-    (outs, refs), _ = dec.apply(vs, query, key, key_pos, anchors, True,
+    vs = dec.init(jax.random.PRNGKey(0), query, key, key_pos, anchors,
+                  train=True)
+    (outs, refs), _ = dec.apply(vs, query, key, key_pos, anchors,
+                                train=True,
                                 mutable=["batch_stats", "spikes"])
     assert outs.shape == (2, t, b, nq, c)
     assert refs.shape == (2, b, nq, 4)
@@ -85,12 +87,13 @@ def test_dab_decoder_point_queries_and_grads():
     key = jnp.asarray(rng.normal(0, 1, (t, b, nk, c)), jnp.float32)
     key_pos = jnp.asarray(rng.normal(0, 1, (b, nk, c)), jnp.float32)
     anchors = jnp.asarray(rng.normal(0, 0.5, (b, nq, 2)), jnp.float32)
-    vs = dec.init(jax.random.PRNGKey(0), query, key, key_pos, anchors, True)
+    vs = dec.init(jax.random.PRNGKey(0), query, key, key_pos, anchors,
+                  train=True)
 
     def loss(params):
         (outs, refs), _ = dec.apply(
             {"params": params, "batch_stats": vs["batch_stats"]},
-            query, key, key_pos, anchors, True,
+            query, key, key_pos, anchors, train=True,
             mutable=["batch_stats", "spikes"])
         return (jnp.sum(outs.astype(jnp.float32) ** 2)
                 + jnp.sum(refs ** 2))
@@ -99,3 +102,43 @@ def test_dab_decoder_point_queries_and_grads():
     leaves = jax.tree.leaves(grads)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert sum(float(jnp.sum(jnp.abs(l))) for l in leaves) > 0
+
+
+def test_dab_decoder_knob_trains_end_to_end():
+    """model.decoder='dab' must be config-reachable and trainable: one
+    full train step (forward + loss + backward + update) on the tiny
+    Spike2Former with the DAB decoder, and an eval forward with the
+    deep-supervision layout intact."""
+    from spike2former_tpu.engine import (init_state, make_optimizer,
+                                         make_train_step)
+    from spike2former_tpu.engine.config import get_config, build_model
+
+    cfg = get_config("SDTv2_maskformer_DCNpixelDecoder_ade20k")
+    for k, v in dict(num_classes=3, embed_dim=(8, 16, 24, 32),
+                     backbone_heads=4, feat_channels=16, num_queries=4,
+                     num_decoder_layers=2, num_encoder_layers=1,
+                     depths_stage3=1, depths_stage4=1, dcn_group=4,
+                     decoder="dab").items():
+        setattr(cfg.model, k, v)
+    model = build_model(cfg.model)
+    assert model.decoder == "dab"
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 255, (2, 32, 32, 3)), jnp.float32)
+    sem = jnp.asarray(rng.integers(0, 3, (2, 32, 32)), jnp.int32)
+
+    norm = (images - 127.5) / 58.0
+    tx = make_optimizer(model.init(jax.random.PRNGKey(0), norm, True)
+                        ["params"], base_lr=1e-3, warmup_iters=2,
+                        total_iters=10)
+    state = init_state(model, tx, jax.random.PRNGKey(0), norm)
+    step = jax.jit(make_train_step(model, tx, num_classes=3, max_gt=4))
+    state, metrics = step(state, images, sem)
+    assert np.isfinite(float(metrics["total"]))
+
+    # eval path: deep supervision collapsed to the last layer
+    cls, masks = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        norm, False)
+    assert cls.shape[0] == 1 and masks.shape[0] == 1
+    assert cls.shape[1:] == (2, 4, 4)  # [B, nq, ncls+1]

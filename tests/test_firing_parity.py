@@ -72,7 +72,9 @@ def test_firing_rates_match_torch_golden(monkeypatch):
     assert torch_stats, "golden recorded no spike sites"
 
     # ---- flax: sow'n rates from the converted model ----
-    model = Spike2Former(T=1, compat=True, **CFG)
+    # eval_last_only=False: the torch hooks see every decoder layer go
+    # through the SDME spike sites, even the ones inference discards
+    model = Spike2Former(T=1, compat=True, eval_last_only=False, **CFG)
     x_j = jnp.asarray(x.transpose(0, 2, 3, 1))
     rates = firing_rates(model, converted, x_j)
     flax_stats = {k: v for k, v in rates.items() if k.endswith("rate")}

@@ -91,6 +91,10 @@ def test_full_model_logit_parity(golden_and_converted, hw):
         cls_t, mask_t = golden(torch.from_numpy(x))
     cls_t = cls_t[-1].numpy()
     mask_t = mask_t[-1].numpy()
+    # degeneracy guard: if the golden's mask logits are (near-)all-zero the
+    # comparison below proves nothing — the SDME tail's integer-level q8
+    # went silent (see randomize_torch scales)
+    assert (np.abs(mask_t) > 1e-6).mean() > 0.2, "degenerate golden masks"
 
     x_j = jnp.asarray(x.transpose(0, 2, 3, 1))
     cls_j, mask_j = model.apply(converted, x_j, False)
@@ -139,6 +143,73 @@ def test_full_model_logit_parity_T2():
                                atol=1e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(mask_j[-1]), mask_t[-1].numpy(),
                                atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_full_model_logit_parity_flagship_dims():
+    """Parity at the EXACT deployed scale: the real ADE20K config's dims
+    (embed 64/128/256/360, feat 256, 100 queries, 6 decoder + 6 encoder
+    layers, depths 6/2, group 32) at 512x512, T=4 — the configuration a
+    converted reference checkpoint would actually run at
+    (configs/Spike2Former/SDTv2_maskformer_DCNpixelDecoder_ade20k.py).
+
+    Stated tolerance: at ~10^8 spike evaluations a handful of activations
+    sit within f32-drift distance of a q8 integer-rounding boundary and
+    flip a level (|0.125| local diff that propagates), so exact allclose
+    is the wrong metric at this scale.  Asserted instead:
+    * cls scores allclose (atol 2e-3) — the classification tail has no
+      post-spike amplification;
+    * mask logits: 99.9th percentile |diff| < 1e-2 and mean |diff| < 1e-4;
+    * semantic-inference argmax agreement >= 99.9% of pixels — the metric
+      that decides mIoU.
+    """
+    FLAG = dict(num_classes=150, embed_dim=(64, 128, 256, 360),
+                backbone_heads=8, feat_channels=256, num_queries=100,
+                num_decoder_layers=6, num_encoder_layers=6,
+                depths_stage3=6, depths_stage4=2, dcn_group=32)
+    golden = GoldenSpike2Former(
+        num_classes=FLAG["num_classes"], embed_dim=FLAG["embed_dim"],
+        heads=FLAG["backbone_heads"], T=4, feat=FLAG["feat_channels"],
+        num_queries=FLAG["num_queries"],
+        dec_layers=FLAG["num_decoder_layers"],
+        enc_layers=FLAG["num_encoder_layers"], group=FLAG["dcn_group"],
+        depths_stage3=FLAG["depths_stage3"],
+        depths_stage4=FLAG["depths_stage4"])
+    randomize_torch(golden, seed=0)
+    sd = {k: v.detach().numpy() for k, v in golden.state_dict().items()}
+    converted = convert_spike2former(
+        sd, depths_stage3=FLAG["depths_stage3"],
+        depths_stage4=FLAG["depths_stage4"],
+        num_encoder_layers=FLAG["num_encoder_layers"],
+        num_decoder_layers=FLAG["num_decoder_layers"])
+    model = Spike2Former(T=4, compat=True, **FLAG)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (1, 3, 512, 512)).astype(np.float32)
+    with torch.no_grad():
+        cls_t, mask_t = golden(torch.from_numpy(x))
+    cls_t = cls_t[-1].numpy()
+    mask_t = mask_t[-1].numpy()
+    assert (np.abs(mask_t) > 1e-6).mean() > 0.05, "degenerate golden masks"
+
+    cls_j, mask_j = model.apply(converted,
+                                jnp.asarray(x.transpose(0, 2, 3, 1)), False)
+    cls_j = np.asarray(cls_j[-1])
+    mask_j = np.asarray(mask_j[-1])
+
+    np.testing.assert_allclose(cls_j, cls_t, atol=2e-3, rtol=1e-3)
+    d = np.abs(mask_j - mask_t)
+    assert np.quantile(d, 0.999) < 1e-2, (np.quantile(d, 0.999), d.max())
+    assert d.mean() < 1e-4, d.mean()
+
+    sem_t = np.einsum(
+        "bqc,bqhw->bhwc",
+        torch.softmax(torch.from_numpy(cls_t), -1)[..., :-1].numpy(),
+        torch.sigmoid(torch.from_numpy(mask_t)).numpy())
+    sem_j = np.asarray(semantic_inference(jnp.asarray(cls_j),
+                                          jnp.asarray(mask_j)))
+    agree = (sem_j.argmax(-1) == sem_t.argmax(-1)).mean()
+    assert agree >= 0.999, f"semantic argmax agreement {agree}"
 
 
 def test_compat_mode_is_load_bearing(golden_and_converted):

@@ -652,7 +652,8 @@ class DCNv3Golden(nn.Module):
             val.flatten(0, 1).numpy(), offset.flatten(0, 1).numpy(),
             mask.flatten(0, 1).numpy(), self.k, self.k, 1, 1, 1, 1, 1, 1,
             self.g, self.gc, 1.0)
-        return torch.from_numpy(out).reshape(t, b, h, w, c)
+        out = torch.from_numpy(out).reshape(t, b, h, w, c)
+        return self.output_proj(out)  # dcnv3.py:230
 
 
 class DCNEncoderLayerGolden(nn.Module):
@@ -925,8 +926,16 @@ class GoldenSpike2Former(nn.Module):
 
 
 def randomize_torch(model, seed=0):
-    """Random weights + non-trivial BN running stats, eval mode."""
+    """Random weights + non-trivial BN running stats, eval mode.
+
+    Bare ``nn.Parameter``s (the encoder layer-scale gammas, the head's
+    ``w``, attention ``alpha``s) are randomized to O(1) too — at their
+    init values (1e-6 / 1) the residual branches they gate are numerically
+    invisible, and a parity test run against such a golden would not
+    notice a wrong (or missing) branch at all.
+    """
     gen = torch.Generator().manual_seed(seed)
+    covered = set()
     with torch.no_grad():
         for m in model.modules():
             if isinstance(m, (nn.BatchNorm1d, nn.BatchNorm2d)):
@@ -934,10 +943,19 @@ def randomize_torch(model, seed=0):
                 m.running_var.uniform_(0.5, 2.0, generator=gen)
                 m.weight.normal_(1.0, 0.2, generator=gen)
                 m.bias.normal_(0, 0.2, generator=gen)
+                covered.update(id(p) for p in m.parameters(recurse=False))
             elif isinstance(m, (nn.Conv1d, nn.Conv2d, nn.Linear,
                                 nn.Embedding)):
-                m.weight.normal_(0, 0.3, generator=gen)
+                # scales chosen so the integer-level q8 spikes (threshold
+                # 0.5) keep firing through the SDME tail: at the old
+                # (0.3, 0.1) the final mask_embed spike was almost always
+                # silent and the mask-logit parity compared zeros
+                m.weight.normal_(0, 0.5, generator=gen)
                 if getattr(m, "bias", None) is not None:
-                    m.bias.normal_(0, 0.1, generator=gen)
+                    m.bias.normal_(0, 0.5, generator=gen)
+                covered.update(id(p) for p in m.parameters(recurse=False))
+        for p in model.parameters():
+            if id(p) not in covered:  # gammas, w, alphas, ...
+                p.normal_(0.5, 0.2, generator=gen)
     model.eval()
     return model

@@ -40,6 +40,11 @@ def main():
     cfg = get_config(args.config, args.cfg_options)
     if args.data_root:
         cfg.data.data_root = args.data_root
+    # literal replay: the reference's hooks see every decoder layer and
+    # every time step go through the spike sites, even the ones inference
+    # discards — measure exactly that
+    cfg.model.eval_last_only = False
+    cfg.model.collapse_t = False
     model = build_model(cfg.model)
 
     crop = cfg.data.crop_size
