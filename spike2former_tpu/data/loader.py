@@ -16,23 +16,30 @@ from typing import Iterator
 import numpy as np
 
 from .dataset import SegDataset
-from .transforms import train_pipeline
+from .transforms import train_pipeline, train_pipeline_mix
 
 
 class TrainLoader:
     def __init__(self, dataset: SegDataset, batch_size: int,
                  crop_size=(512, 512), seed: int = 0, num_workers: int = 8,
                  prefetch: int = 4, infinite: bool = True,
-                 process_id: int = 0, process_count: int = 1):
+                 process_id: int = 0, process_count: int = 1,
+                 mosaic_prob: float = 0.0):
         """``batch_size`` is the per-process (local) batch.  In multi-host
         training every process builds the SAME epoch permutation (shared
         seed) and consumes its disjoint ``process_id``-strided slice — the
-        DistSamplerSeedHook / InfiniteSampler sharding convention."""
+        DistSamplerSeedHook / InfiniteSampler sharding convention.
+
+        ``mosaic_prob`` > 0 enables the MultiImageMixDataset-style mosaic
+        mix (transforms.train_pipeline_mix): the loader owns dataset
+        access, so the multi-image transform draws its 3 extra raw samples
+        here — no wrapper dataset class needed."""
         self.ds = dataset
         self.bs = batch_size
         self.crop = crop_size
         self.rng = np.random.default_rng(seed)
         self.pid, self.pcount = process_id, process_count
+        self.mosaic_prob = mosaic_prob
         self.pool = ThreadPoolExecutor(num_workers)
         self.q: queue.Queue = queue.Queue(maxsize=prefetch)
         self.infinite = infinite
@@ -42,7 +49,12 @@ class TrainLoader:
 
     def _load_one(self, idx: int, seed: int):
         rng = np.random.default_rng(seed)
-        s = train_pipeline(self.ds.load(idx), rng, self.crop)
+        if self.mosaic_prob > 0:
+            extra = lambda: self.ds.load(int(rng.integers(len(self.ds))))
+            s = train_pipeline_mix(self.ds.load(idx), extra, rng,
+                                   self.crop, self.mosaic_prob)
+        else:
+            s = train_pipeline(self.ds.load(idx), rng, self.crop)
         return s["image"], s["sem_seg"]
 
     def _producer(self):

@@ -401,6 +401,23 @@ def train_pipeline(sample: Sample, rng: np.random.Generator,
     return sample
 
 
+def train_pipeline_mix(sample: Sample, extra_sample_fn,
+                       rng: np.random.Generator, crop_size=(512, 512),
+                       mosaic_prob: float = 0.5) -> Sample:
+    """Multi-image-mix train pipeline — the MultiImageMixDataset wrapper
+    (mmseg/datasets/dataset_wrappers.py) collapsed into a function: with
+    probability ``mosaic_prob`` the sample is mosaic-stitched with 3 more
+    raw samples drawn via ``extra_sample_fn()`` (the wrapper's
+    get_indices + prepare_data), then the standard single-image pipeline
+    runs on the composite.  The mosaic canvas is built at ``crop_size``
+    scale, so the downstream RandomCrop sees a (2H, 2W) composite —
+    mmseg's RandomMosaic convention."""
+    if rng.uniform() < mosaic_prob:
+        group = [sample] + [extra_sample_fn() for _ in range(3)]
+        sample = mosaic(group, rng, img_scale=crop_size)
+    return train_pipeline(sample, rng, crop_size)
+
+
 def test_pipeline(sample: Sample, scale=(2048, 512),
                   pad_to_size: tuple[int, int] | None = None,
                   size_divisor: int | None = 32,

@@ -53,6 +53,9 @@ class DataConfig:
     num_workers: int = 8
     test_scale: tuple = (2048, 512)
     size_divisor: int = 32
+    # MultiImageMixDataset-style mosaic mixing probability (0 = off; the
+    # reference's RandomMosaic configs use 0.5) — data/loader.py
+    mosaic_prob: float = 0.0
 
 
 @dataclass

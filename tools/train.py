@@ -129,7 +129,8 @@ def main():
         loader = TrainLoader(ds, local_bs, cfg.data.crop_size,
                              seed=cfg.train.seed,
                              num_workers=cfg.data.num_workers,
-                             process_id=pid, process_count=pcount)
+                             process_id=pid, process_count=pcount,
+                             mosaic_prob=cfg.data.mosaic_prob)
 
     sample = jnp.zeros((cfg.data.batch_size, *cfg.data.crop_size, 3),
                        jnp.float32)
