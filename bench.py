@@ -126,14 +126,35 @@ def main():
               file=sys.stderr, flush=True)
         _emit(LAST_KNOWN_GOOD, degraded=True)
         return
+    # The measurement ALSO runs in a killable subprocess: the tunnel can
+    # flap between the probe and the in-process backend init, and a hung
+    # init (~35 min during outages) raises nothing — an in-process
+    # try/except would never fire and the driver timeout would kill us
+    # before the JSON line prints (the round-3 failure mode).
     try:
-        _emit(_measure())
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--inner"],
+            timeout=420, capture_output=True, text=True)
+        sys.stderr.write(r.stderr)
+        for line in r.stdout.splitlines():
+            if line.startswith("BENCH_VALUE "):
+                _emit(float(line.split()[1]))
+                return
+        print(f"bench: inner run produced no value (rc={r.returncode}); "
+              "emitting last-known-good (degraded)",
+              file=sys.stderr, flush=True)
+    except subprocess.TimeoutExpired:
+        print("bench: inner run timed out; emitting last-known-good "
+              "(degraded)", file=sys.stderr, flush=True)
     except Exception as e:  # never leave the scoreboard empty
         print(f"bench: measurement failed ({type(e).__name__}: {e}); "
               "emitting last-known-good (degraded)",
               file=sys.stderr, flush=True)
-        _emit(LAST_KNOWN_GOOD, degraded=True)
+    _emit(LAST_KNOWN_GOOD, degraded=True)
 
 
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv:
+        print(f"BENCH_VALUE {_measure()}", flush=True)
+    else:
+        main()

@@ -410,8 +410,14 @@ def maskformer_loss(
     if num_points and rng is None:
         raise ValueError("num_points > 0 requires an rng key")
     g_full = gt.labels.shape[1]
+    # Point mode skips the compact fast path: threefry assigns uniforms by
+    # flattened position, so per-pair point draws under a narrower G axis
+    # would differ numerically from the full-width ones and break this
+    # function's bit-identity contract — and the compact path's payoff
+    # (avoiding G_full-wide mask-loss work) is moot when losses run on
+    # num_points samples instead of pixels.
     if (compact_gt is not None and compact_gt < g_full
-            and matcher != "host"):
+            and matcher != "host" and not num_points):
         gc = compact_gt
         kw = dict(num_classes=num_classes, bg_class_weight=bg_class_weight,
                   focal_weight=focal_weight, dice_weight=dice_weight,
@@ -570,12 +576,10 @@ def maskformer_loss(
         for i in range(num_layers - 1):
             losses[f"d{i}.{k}"] = stacked[k][i]
     losses["total"] = sum(jnp.sum(v) for v in stacked.values())
-    # observability: valid GT columns the assignment left unmatched —
-    # 0 in normal operation (the auction's greedy repair completes the
-    # assignment; the host matcher is always complete)
-    losses["unmatched_gt"] = jnp.sum(
-        (gt.valid[None] & (all_matched < 0)).astype(jnp.float32))
-    # auction iteration-cap edge: columns the raw auction missed and the
-    # greedy repair filled (matcher.py _greedy_repair)
+    # observability: auction iteration-cap edge — valid GT columns the raw
+    # auction left unmatched and the greedy repair then filled
+    # (matcher.py _greedy_repair).  Supersedes the old always-zero-now
+    # ``unmatched_gt`` counter: repair + the always-complete host matcher
+    # mean no valid column ever goes without loss.
     losses["repaired_gt"] = repaired.astype(jnp.float32)
     return losses

@@ -175,8 +175,8 @@ def auction_match(costs: jax.Array, num_iters: int = 600,
     ~2*margin/eps); a capped run can leave valid columns unmatched (-1).
     With ``repair=True`` (default) a greedy completion pass then assigns
     each such column its best free query (``_greedy_repair``), so every
-    valid GT always contributes loss; the criterion's ``unmatched_gt``
-    metric still observes the raw cap edge.  Deterministic, jit-friendly,
+    valid GT always contributes loss; the criterion's ``repaired_gt``
+    metric observes the raw cap edge.  Deterministic, jit-friendly,
     no host sync — preferred under pjit.
     """
     b, nq, g = costs.shape

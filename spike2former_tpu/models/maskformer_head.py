@@ -214,6 +214,11 @@ class MaskFormerHead(nn.Module):
                                          pad_mask=decoder_masks[lvl])
 
         if self.decoder == "dab":
+            if self.masked_attention:
+                raise ValueError(
+                    "decoder='dab' does not support masked_attention "
+                    "(the DAB decoder has no per-layer mask gating); "
+                    "pick one")
             from .dab_detr import DABDetrDecoder
 
             anchors = self.param(
