@@ -30,9 +30,15 @@ def main():
     ap.add_argument("--peak-tflops", type=float, default=197.0,
                     help="chip peak bf16 TFLOP/s (v5e: 197)")
     ap.add_argument("--cfg-options", nargs="*", default=[])
+    ap.add_argument("--device", default=None,
+                    help="force backend, e.g. cpu (the image pins "
+                         "JAX_PLATFORMS=axon via sitecustomize)")
     args = ap.parse_args()
 
     import jax
+
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
     import jax.numpy as jnp
     import numpy as np
 
@@ -81,7 +87,11 @@ def main():
             model, tx, num_classes=cfg.model.num_classes,
             max_gt=cfg.train.max_gt, matcher=cfg.train.matcher,
             loss_at=cfg.train.loss_at, accum_steps=args.accum_steps,
-            compact_gt=cfg.train.compact_gt))
+            compact_gt=cfg.train.compact_gt,
+            num_points=cfg.train.loss_points,
+            oversample_ratio=cfg.train.loss_points_oversample,
+            importance_sample_ratio=cfg.train.loss_points_importance,
+            seed=cfg.train.seed))
 
         def run(st):
             st, metrics = step(st, x, sem)

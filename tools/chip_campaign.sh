@@ -28,6 +28,14 @@ run python tools/benchmark.py "$FLAG" --train --batch-size 16 --num-iters 20 --m
 run python tools/benchmark.py "$FLAG" --train --batch-size 16 --accum-steps 3 \
     --num-iters 10 --mfu
 
+# 2b. round-4 point-sampled losses: the Mask2Former recipe (K=12544) cuts
+# the gt-resolution loss work ~20x per decoder layer — measure the train
+# speedup it buys at both batch sizes
+run python tools/benchmark.py "$FLAG" --train --batch-size 4 --num-iters 30 --mfu \
+    --cfg-options train.loss_points=12544
+run python tools/benchmark.py "$FLAG" --train --batch-size 16 --num-iters 20 --mfu \
+    --cfg-options train.loss_points=12544
+
 # 3. packed spike residuals: memory + speed delta at B=16
 run python tools/benchmark.py "$FLAG" --train --batch-size 16 --num-iters 20 \
     --cfg-options train.packed_residuals=True
