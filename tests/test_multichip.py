@@ -72,3 +72,46 @@ def test_spatial_sharding_matches_replicated():
     sharded = fn(jax.device_put(vars_, repl), jax.device_put(imgs, sp))
     np.testing.assert_allclose(
         np.asarray(plain), np.asarray(sharded), atol=2e-5)
+
+
+def test_point_loss_train_step_data_parallel():
+    """The point-sampled loss path (losses/point_sample.py: top_k,
+    take_along_axis gathers, per-layer RNG splits) must compile and run
+    under a data-parallel mesh, and produce the same loss as the
+    unsharded step (the coords derive from fold_in(seed, step), so the
+    program is deterministic across shardings up to reduction order)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from spike2former_tpu.engine import (init_state, make_optimizer,
+                                         make_train_step)
+    from spike2former_tpu.models import Spike2Former
+    from spike2former_tpu.parallel import make_mesh
+
+    model = Spike2Former(
+        num_classes=4, embed_dim=(8, 16, 24, 32), backbone_heads=4, T=1,
+        feat_channels=16, num_queries=4, num_decoder_layers=1,
+        num_encoder_layers=1, depths_stage3=1, depths_stage4=1,
+        dcn_group=4)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 255, (8, 32, 32, 3)), jnp.float32)
+    sem = jnp.asarray(rng.integers(0, 4, (8, 32, 32)), jnp.int32)
+
+    norm = (imgs - 127.5) / 58.0
+    tx = make_optimizer(
+        model.init(jax.random.PRNGKey(0), norm, True)["params"],
+        base_lr=1e-3, warmup_iters=2, total_iters=10)
+    state0 = init_state(model, tx, jax.random.PRNGKey(0), norm)
+    step = make_train_step(model, tx, num_classes=4, max_gt=4,
+                           num_points=32, seed=0)
+
+    _, m_single = jax.jit(step)(state0, imgs, sem)
+
+    mesh = make_mesh(8)
+    data_sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    sharded_step = jax.jit(step, in_shardings=(repl, data_sh, data_sh))
+    _, m_shard = sharded_step(
+        jax.device_put(state0, repl), jax.device_put(imgs, data_sh),
+        jax.device_put(sem, data_sh))
+    np.testing.assert_allclose(float(m_shard["total"]),
+                               float(m_single["total"]), rtol=1e-4)
