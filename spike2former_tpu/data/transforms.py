@@ -243,6 +243,48 @@ def random_rotate(sample: Sample, rng: np.random.Generator,
     return out
 
 
+def random_rot_flip(sample: Sample, rng: np.random.Generator,
+                    rotate_prob: float = 0.5, flip_prob: float = 0.5,
+                    degree: tuple[float, float] = (-20.0, 20.0),
+                    seg_pad_val: int = 255) -> Sample:
+    """RandomRotFlip (mmseg transforms.py:876, the Synapse medical
+    recipe): with ``rotate_prob`` do a free-angle rotation; otherwise,
+    with ``flip_prob``, do a rot90 by k∈{0..3} plus a flip along a
+    random axis (the reference only rot-flips when the rotation branch
+    did not fire)."""
+    if rng.uniform() < rotate_prob:
+        angle = float(rng.uniform(min(degree), max(degree)))
+        return _rotate_exact(sample, angle, seg_pad_val)
+    if rng.uniform() < flip_prob:
+        out = dict(sample)
+        k = int(rng.integers(0, 4))
+        axis = int(rng.integers(0, 2))
+        img = np.flip(np.rot90(sample["image"], k), axis=axis)
+        out["image"] = np.ascontiguousarray(img)
+        seg = sample.get("sem_seg")
+        if seg is not None:
+            out["sem_seg"] = np.ascontiguousarray(
+                np.flip(np.rot90(seg, k), axis=axis))
+        return out
+    return sample
+
+
+def _rotate_exact(sample: Sample, angle: float, seg_pad_val: int) -> Sample:
+    """Rotate by a fixed angle (asymmetric-degree-range support for
+    random_rot_flip)."""
+    out = dict(sample)
+    img = Image.fromarray(sample["image"])
+    out["image"] = np.asarray(
+        img.rotate(angle, resample=Image.BILINEAR, fillcolor=(0, 0, 0)))
+    seg = sample.get("sem_seg")
+    if seg is not None:
+        seg_im = Image.fromarray(seg.astype(np.int32), "I")
+        out["sem_seg"] = np.asarray(
+            seg_im.rotate(angle, resample=Image.NEAREST,
+                          fillcolor=seg_pad_val), np.int32)
+    return out
+
+
 def random_cutout(sample: Sample, rng: np.random.Generator,
                   prob: float = 0.5, n_holes: tuple[int, int] = (1, 3),
                   cutout_ratio: tuple[float, float] = (0.1, 0.3),
