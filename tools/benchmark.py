@@ -54,8 +54,12 @@ def main():
     model = build_model(cfg.model)
     size = tuple(args.image_size or cfg.data.crop_size)
 
+    # --batch-size is the per-accumulation microbatch; the train step takes
+    # the full global batch and splits it into accum_steps microbatches
+    # (engine/train.py), so the input arrays carry batch*accum images.
+    total_batch = args.batch_size * (args.accum_steps if args.train else 1)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(120, 60, (args.batch_size, *size, 3)),
+    x = jnp.asarray(rng.normal(120, 60, (total_batch, *size, 3)),
                     jnp.float32)
     variables = fast_variables(model, x)
 
@@ -79,7 +83,7 @@ def main():
         table = rng.choice(cfg.model.num_classes, size=distinct,
                            replace=False)
         blocks = table[rng.integers(0, distinct,
-                                    (args.batch_size, 32, 32))]
+                                    (total_batch, 32, 32))]
         sem = jnp.asarray(np.repeat(np.repeat(
             blocks, size[0] // 32, axis=1), size[1] // 32, axis=2)[
                 :, :size[0], :size[1]], jnp.int32)
@@ -118,12 +122,12 @@ def main():
             if (jax.default_backend() == "tpu"
                     and cfg.model.kind == "maskformer"):
                 pfl = dcn_sampling_flops(
-                    args.batch_size, size,
+                    total_batch, size,
                     num_layers=cfg.model.num_encoder_layers,
                     group=min(cfg.model.dcn_group, cfg.model.feat_channels),
                     group_channels=cfg.model.feat_channels
                     // min(cfg.model.dcn_group, cfg.model.feat_channels),
-                    train=True) * args.accum_steps
+                    train=True)
                 mfu2 = (fl + pfl) / dt / (args.peak_tflops * 1e12)
                 flops_str += (f" [Pallas sampling est {pfl/1e12:.2f} TFLOP"
                               f" → MFU {mfu2*100:.1f}% if uncounted]")
@@ -133,7 +137,7 @@ def main():
             mem_str = (f", peak HBM "
                        f"{stats['peak_bytes_in_use'] / 2**30:.2f} GiB")
         print(f"{cfg.name} TRAIN: {dt*1000:.2f} ms/iter, "
-              f"{args.batch_size/dt:.2f} img/s (batch {args.batch_size}, "
+              f"{total_batch/dt:.2f} img/s (batch {args.batch_size}, "
               f"{size[0]}x{size[1]}, T={cfg.model.T}, "
               f"accum {args.accum_steps}{flops_str}{mem_str})")
         return
