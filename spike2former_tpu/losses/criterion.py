@@ -34,8 +34,8 @@ import jax.numpy as jnp
 from ..ops.resize import resize_bilinear, resize_nearest_torch
 from .losses import dice_loss, sigmoid_focal_loss, weighted_cross_entropy
 from .matcher import auction_match, hungarian_host, match_costs
-from .point_sample import (point_sample, point_sample_slot,
-                           uncertain_point_coords)
+from .point_sample import (point_sample, point_sample_shared,
+                           point_sample_slot, uncertain_point_coords)
 
 
 class GroundTruth(NamedTuple):
@@ -504,15 +504,11 @@ def maskformer_loss(
             cls_l, mask_l, key_l = cm
             coords = jax.random.uniform(
                 key_l, (b, num_points, 2), jnp.float32)
-            pred_pts = point_sample(
-                mask_l, jnp.broadcast_to(coords[:, None],
-                                         (b, nq, num_points, 2)))
+            pred_pts = point_sample_shared(mask_l, coords)
             if slot_mode:
                 gt_pts = point_sample_slot(gt.slot_map, g, coords)
             else:
-                gt_pts = point_sample(
-                    gt.masks, jnp.broadcast_to(coords[:, None],
-                                               (b, g, num_points, 2)))
+                gt_pts = point_sample_shared(gt.masks, coords)
             c = cost_fn(cls_l, pred_pts, gt.labels, gt_pts, gt.valid)
             return None, jax.lax.stop_gradient(c)
 

@@ -13,14 +13,30 @@ with ``align_corners=False`` and zero padding at normalized (x, y)
 coordinates in [0, 1]^2 (source coordinate ``p * size - 0.5``; an
 out-of-bounds neighbor contributes 0).
 
-TPU design: sampling is 4 gathers + a lerp, fused by XLA into the loss
-elementwise code.  For slot-map ground truth (criterion.GroundTruth) the
-per-slot binary target is never materialized: the 4 gathered *slot ids*
-are compared against each slot index under the same lerp weights, which
-is bit-equal to bilinearly sampling the dense {0,1} mask.  At the
-flagship recipe this evaluates mask losses on 12.5k points instead of
-512^2 pixels — ~20x less loss-path work per decoder layer than the exact
-GT-resolution path.
+TPU design: irregular point access is the enemy here — a scalar
+gather's backward is a scalar scatter-add, which Mosaic/XLA serialize
+(measured: the flagship point-loss train step ran at 13.3 s/iter, ~70x
+the dense path, almost entirely scatter).  So the gradient-carrying
+sampling (``point_sample``) is formulated as separable one-hot selector
+MATMULS — the same design as the DCNv3 Pallas kernel: per point build a
+[P, H] row selector and [P, W] column selector holding the two bilinear
+tap weights (an out-of-range tap matches no row/column and contributes
+exactly 0 = grid_sample zero padding), then ``out = (Ry @ M) . Cx``.
+Forward and backward are batched MXU contractions; the mask gradient is
+the transpose matmul ``Ry^T @ (dOut * Cx)`` — no scatter anywhere.
+P is chunked (lax.map + checkpoint) so the [N, Pc, W] intermediate
+stays ~100 MB.
+
+Shared-coordinate sampling (the matching costs: one point set per image
+for every query/slot) instead gathers [1, Q]-row slices of the
+HW-transposed masks — contiguous vector loads, no per-query scalars
+(``point_sample_shared``).  Slot-map ground truth
+(criterion.GroundTruth) is sampled without materializing per-slot
+binary masks: the 4 gathered *slot ids* are compared against each slot
+index under the same lerp weights, bit-equal to bilinearly sampling the
+dense {0,1} mask; GT carries no gradient, so these stay cheap forward
+gathers.  At the flagship recipe this evaluates mask losses on 12.5k
+points instead of 512^2 pixels per decoder layer.
 """
 from __future__ import annotations
 
@@ -49,23 +65,83 @@ def _taps(coords: jax.Array, h: int, w: int):
     return out
 
 
-def point_sample(masks: jax.Array, coords: jax.Array) -> jax.Array:
+def _selectors(coords: jax.Array, h: int, w: int):
+    """Separable bilinear selector matrices for normalized (x, y) coords:
+    [..., P, 2] -> (ry [..., P, h], cx [..., P, w]) f32.  A tap index
+    outside [0, size) matches no grid row/column, so its contribution is
+    exactly 0 — grid_sample's zero padding for free."""
+    x = coords[..., 0].astype(jnp.float32) * w - 0.5
+    y = coords[..., 1].astype(jnp.float32) * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
+    x0 = x0.astype(jnp.int32)[..., None]
+    y0 = y0.astype(jnp.int32)[..., None]
+    iy = jnp.arange(h, dtype=jnp.int32)
+    ix = jnp.arange(w, dtype=jnp.int32)
+    ry = (jnp.where(iy == y0, 1.0 - wy, 0.0)
+          + jnp.where(iy == y0 + 1, wy, 0.0))
+    cx = (jnp.where(ix == x0, 1.0 - wx, 0.0)
+          + jnp.where(ix == x0 + 1, wx, 0.0))
+    return ry, cx
+
+
+def point_sample(masks: jax.Array, coords: jax.Array, *,
+                 chunk: int = 2048) -> jax.Array:
     """mmcv ``point_sample`` (grid_sample, align_corners=False, zero pad).
 
     masks [..., H, W]; coords [..., P, 2] normalized (x, y) in [0, 1] with
-    identical leading dims (broadcast shared coords with jnp.broadcast_to).
-    Returns [..., P] in f32.
+    identical leading dims.  Returns [..., P] in f32.
+
+    Computed as separable selector matmuls (module docstring): both the
+    forward and the mask gradient are MXU contractions — no gather in the
+    forward, no scatter in the backward.  ``chunk`` bounds the [N, Pc, W]
+    intermediate; chunks run under lax.map + checkpoint.
     """
     *lead, h, w = masks.shape
     p = coords.shape[-2]
-    flat = masks.astype(jnp.float32).reshape(-1, h * w)
-    n = flat.shape[0]
-    cf = coords.reshape(n, p, 2)
-    out = jnp.zeros((n, p), jnp.float32)
-    for yi, xi, wgt, inb in _taps(cf, h, w):
-        v = jnp.take_along_axis(flat, yi * w + xi, axis=1)
-        out = out + jnp.where(inb, v, 0.0) * wgt
+    m = masks.astype(jnp.float32).reshape(-1, h, w)
+    n = max(m.shape[0], 1)
+    cf = coords.astype(jnp.float32).reshape(n, p, 2)
+
+    @jax.checkpoint
+    def sample(c):
+        ry, cx = _selectors(c, h, w)
+        tmp = jnp.einsum("nph,nhw->npw", ry, m,
+                         preferred_element_type=jnp.float32)
+        return (tmp * cx).sum(-1)
+
+    if p <= chunk:
+        out = sample(cf)
+    else:
+        nc = -(-p // chunk)
+        pad = nc * chunk - p
+        cp = jnp.pad(cf, ((0, 0), (0, pad), (0, 0)))
+        cc = cp.reshape(n, nc, chunk, 2).swapaxes(0, 1)
+        out = jax.lax.map(sample, cc)  # [nc, n, chunk]
+        out = out.swapaxes(0, 1).reshape(n, nc * chunk)[:, :p]
     return out.reshape(*lead, p)
+
+
+def point_sample_shared(masks: jax.Array, coords: jax.Array) -> jax.Array:
+    """Point-sample every mask of a stack at ONE shared point set.
+
+    masks [B, Q, H, W]; coords [B, P, 2] shared across Q.  Returns
+    [B, Q, P] f32, identical to ``point_sample`` with coords broadcast to
+    [B, Q, P, 2] — but each tap gathers a contiguous [1, Q] row of the
+    HW-transposed masks (vector loads) instead of B*Q*P scalars.
+    """
+    b, q, h, w = masks.shape
+    p = coords.shape[-2]
+    flat = masks.astype(jnp.float32).reshape(b, q, h * w)
+    flat = flat.swapaxes(1, 2)  # [b, hw, q]
+    out = jnp.zeros((b, p, q), jnp.float32)
+    for yi, xi, wgt, inb in _taps(coords.reshape(b, p, 2), h, w):
+        idx = yi * w + xi  # [b, p]
+        v = jax.vmap(lambda t, i: t[i])(flat, idx)  # [b, p, q] row slices
+        out = out + jnp.where(inb[..., None], v, 0.0) * wgt[..., None]
+    return out.swapaxes(1, 2)
 
 
 def point_sample_slot(slot_map: jax.Array, num_slots: int,

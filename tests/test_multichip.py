@@ -113,5 +113,9 @@ def test_point_loss_train_step_data_parallel():
     _, m_shard = sharded_step(
         jax.device_put(state0, repl), jax.device_put(imgs, data_sh),
         jax.device_put(sem, data_sh))
+    # point_sample's selector-matmul formulation accumulates in whatever
+    # order GSPMD partitions the einsum, so sharded f32 sums drift ~1e-4
+    # relative vs the single-device program (benign; the scalar-gather
+    # formulation it replaced was order-identical but 70x slower on TPU)
     np.testing.assert_allclose(float(m_shard["total"]),
-                               float(m_single["total"]), rtol=1e-4)
+                               float(m_single["total"]), rtol=1e-3)

@@ -180,3 +180,55 @@ def test_point_focal_converges_to_exact_with_uniform_points():
                                float(exact["loss_mask"]), rtol=0.12)
     np.testing.assert_allclose(float(pts["loss_dice"]),
                                float(exact["loss_dice"]), rtol=0.25)
+
+
+def test_point_sample_shared_equals_broadcast():
+    rng = np.random.default_rng(7)
+    b, q, h, w, p = 2, 5, 9, 11, 17
+    masks = rng.normal(size=(b, q, h, w)).astype(np.float32)
+    coords = rng.uniform(-0.05, 1.05, size=(b, p, 2)).astype(np.float32)
+
+    from spike2former_tpu.losses.point_sample import point_sample_shared
+
+    got = np.asarray(point_sample_shared(jnp.asarray(masks),
+                                         jnp.asarray(coords)))
+    want = np.asarray(point_sample(
+        jnp.asarray(masks),
+        jnp.broadcast_to(jnp.asarray(coords)[:, None], (b, q, p, 2))))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # and vs torch grid_sample directly
+    ref = torch_point_sample(
+        masks.reshape(b * q, h, w),
+        np.broadcast_to(coords[:, None], (b, q, p, 2)).reshape(b * q, p, 2))
+    np.testing.assert_allclose(got.reshape(b * q, p), ref, atol=1e-5)
+
+
+def test_point_sample_chunked_matches_unchunked_and_grads():
+    rng = np.random.default_rng(3)
+    n, h, w, p = 3, 8, 8, 53
+    masks = rng.normal(size=(n, h, w)).astype(np.float32)
+    coords = rng.uniform(0, 1, size=(n, p, 2)).astype(np.float32)
+    mj, cj = jnp.asarray(masks), jnp.asarray(coords)
+    full = point_sample(mj, cj, chunk=4096)
+    chunked = point_sample(mj, cj, chunk=16)  # forces padding + lax.map
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked),
+                               atol=1e-6)
+
+    # the mask gradient must agree between the chunked and unchunked paths
+    # (chunked backward runs through lax.map + checkpoint)
+    def loss(m, chunk):
+        return (point_sample(m, cj, chunk=chunk) ** 2).sum()
+
+    g_full = jax.grad(lambda m: loss(m, 4096))(mj)
+    g_chunk = jax.grad(lambda m: loss(m, 16))(mj)
+    np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_chunk),
+                               atol=1e-5)
+    # and vs torch autograd through grid_sample
+    mt = torch.from_numpy(masks).requires_grad_(True)
+    inp = mt.unsqueeze(1)
+    grid = torch.from_numpy(coords) * 2.0 - 1.0
+    out = F.grid_sample(inp, grid.unsqueeze(2), mode="bilinear",
+                        align_corners=False, padding_mode="zeros")
+    (out.squeeze(3).squeeze(1) ** 2).sum().backward()
+    np.testing.assert_allclose(np.asarray(g_full), mt.grad.numpy(),
+                               atol=1e-4)
