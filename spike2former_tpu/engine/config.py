@@ -41,6 +41,8 @@ class ModelConfig:
     masked_attention: bool = False    # Mask2Former masked cross-attention
     decoder: str = "detr"             # 'detr' | 'dab' (DAB-DETR anchors)
     eval_last_only: bool = True       # False = literal all-layers eval
+    remat: bool = False               # checkpoint backbone/DCN blocks
+    lazy_masks: bool = True           # factored train-time mask logits
     dtype: str = "float32"
 
 
@@ -155,7 +157,8 @@ def build_model(cfg: ModelConfig):
         dcn_group=cfg.dcn_group, compat=cfg.compat,
         norm_eval=cfg.norm_eval, collapse_t=cfg.collapse_t,
         masked_attention=cfg.masked_attention, decoder=cfg.decoder,
-        eval_last_only=cfg.eval_last_only, dtype=dtype)
+        eval_last_only=cfg.eval_last_only, remat=cfg.remat,
+        lazy_masks=cfg.lazy_masks, dtype=dtype)
 
 
 def apply_overrides(cfg: Config, options: list[str]) -> Config:
@@ -172,6 +175,13 @@ def apply_overrides(cfg: Config, options: list[str]) -> Config:
         target = cfg
         for p in parts[:-1]:
             target = getattr(target, p)
+        # reject unknown keys: a typo'd knob silently measuring/training
+        # the default config is worse than an error (model.remat once
+        # landed on a field nothing read)
+        if not hasattr(target, parts[-1]):
+            raise AttributeError(
+                f"unknown config key {key!r} ({type(target).__name__} "
+                f"has no field {parts[-1]!r})")
         setattr(target, parts[-1], value)
     return cfg
 

@@ -3,8 +3,8 @@ from .matcher import (
     classification_cost, focal_mask_cost, dice_mask_cost, match_costs,
     hungarian_host, auction_match,
 )
-from .criterion import (GroundTruth, semantic_to_instances, maskformer_loss,
-                        classification_targets)
+from .criterion import (GroundTruth, LazyMasks, semantic_to_instances,
+                        maskformer_loss, classification_targets)
 from .point_sample import (point_sample, point_sample_slot,
                            uncertain_point_coords, get_uncertainty)
 from .pixel import (
@@ -17,7 +17,7 @@ __all__ = [
     "weighted_cross_entropy", "sigmoid_focal_loss", "dice_loss",
     "classification_cost", "focal_mask_cost", "dice_mask_cost",
     "match_costs", "hungarian_host", "auction_match",
-    "GroundTruth", "semantic_to_instances", "maskformer_loss",
+    "GroundTruth", "LazyMasks", "semantic_to_instances", "maskformer_loss",
     "classification_targets",
     "point_sample", "point_sample_slot", "uncertain_point_coords",
     "get_uncertainty",

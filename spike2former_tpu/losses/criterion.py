@@ -38,6 +38,49 @@ from .point_sample import (point_sample, point_sample_shared,
                            point_sample_slot, uncertain_point_coords)
 
 
+class LazyMasks(NamedTuple):
+    """Deep-supervision mask predictions in factored form.
+
+    The dense per-layer logits are ``einsum('tbqc,tbhwc->bqhw',
+    embeds[l], feats) / T`` — the SDME tail of the head
+    (models/maskformer_head.py ``sdme``).  Materializing all L layers at
+    the flagship train shape is a f32[7,16,100,256,256] (2.7 GB) HLO temp
+    (+ a same-size copy), the single largest train-step allocation; the
+    loss only ever needs one layer (and only its G matched slots) at a
+    time, so the factored form is carried instead and each scan body
+    contracts what it needs on the fly.
+    """
+
+    embeds: jax.Array  # [L, T, B, nq, C] post-SDME mask embeddings
+    feats: jax.Array   # [T, B, h, w, C] mask features
+
+    @property
+    def dtype(self):
+        return jnp.float32
+
+    @property
+    def mask_hw(self) -> tuple[int, int]:
+        return self.feats.shape[2], self.feats.shape[3]
+
+    def layer(self, embeds_l: jax.Array) -> jax.Array:
+        """Dense [B, nq, h, w] f32 logits for one layer's embeddings."""
+        t = self.feats.shape[0]
+        return jnp.einsum(
+            "tbqc,tbhwc->bqhw", embeds_l, self.feats,
+            preferred_element_type=jnp.float32) / t
+
+    def layer_slots(self, embeds_l: jax.Array, q_idx: jax.Array
+                    ) -> jax.Array:
+        """Dense [B, G, h, w] f32 logits for the ``q_idx`` [B, G] queries
+        of one layer — contracts only the matched slots."""
+        t = self.feats.shape[0]
+        emb = jnp.take_along_axis(
+            embeds_l, q_idx[None, :, :, None], axis=2)  # [T, B, G, C]
+        return jnp.einsum(
+            "tbgc,tbhwc->bghw", emb, self.feats,
+            preferred_element_type=jnp.float32) / t
+
+
 class GroundTruth(NamedTuple):
     """Padded mask-classification targets.
 
@@ -280,7 +323,15 @@ def _layer_loss(cls_scores, mask_preds, matched_q, gt: GroundTruth,
     """
     b, nq = cls_scores.shape[:2]
     g = gt.labels.shape[1]
-    h, w = mask_preds.shape[-2:]
+    # ``mask_preds`` is either the dense [B, nq, h, w] layer logits or a
+    # (LazyMasks, embeds_l) pair — in the lazy form only the G matched
+    # slots are ever contracted to pixels (LazyMasks docstring).
+    lazy = isinstance(mask_preds, tuple)
+    if lazy:
+        lm, embeds_l = mask_preds
+        h, w = lm.mask_hw
+    else:
+        h, w = mask_preds.shape[-2:]
     gh, gw = gt.gt_hw
 
     # ---- classification targets ----
@@ -291,8 +342,11 @@ def _layer_loss(cls_scores, mask_preds, matched_q, gt: GroundTruth,
         cls_scores.reshape(b * nq, -1), labels.reshape(-1), class_weight)
 
     # ---- mask losses on matched pairs ----
-    pred_at_gt = jax.vmap(
-        lambda mp, q: mp[q])(mask_preds, safe_q)  # [B, G, h, w]
+    if lazy:
+        pred_at_gt = lm.layer_slots(embeds_l, safe_q)  # [B, G, h, w]
+    else:
+        pred_at_gt = jax.vmap(
+            lambda mp, q: mp[q])(mask_preds, safe_q)  # [B, G, h, w]
     pair_w = (gt.valid & (matched_q >= 0)).astype(jnp.float32)  # [B, G]
 
     if point_cfg is not None:
@@ -367,7 +421,7 @@ def _layer_loss(cls_scores, mask_preds, matched_q, gt: GroundTruth,
 
 def maskformer_loss(
     all_cls_scores: jax.Array,   # [L, B, nq, K+1]
-    all_mask_preds: jax.Array,   # [L, B, nq, h, w]
+    all_mask_preds,              # [L, B, nq, h, w] dense or LazyMasks
     gt: GroundTruth,
     *,
     num_classes: int,
@@ -457,7 +511,9 @@ def maskformer_loss(
 
     num_layers, b = all_cls_scores.shape[:2]
     g = gt.labels.shape[1]
-    h, w = all_mask_preds.shape[-2:]
+    lazy = isinstance(all_mask_preds, LazyMasks)
+    h, w = (all_mask_preds.mask_hw if lazy
+            else all_mask_preds.shape[-2:])
 
     # ---- downsampled targets at mask resolution ----
     # (point mode samples GT at native resolution instead — the dense
@@ -498,10 +554,12 @@ def maskformer_loss(
             jax.random.fold_in(rng, 0), num_layers)
         loss_keys = jax.random.split(
             jax.random.fold_in(rng, 1), num_layers)
-        nq = all_mask_preds.shape[2]
+        nq = all_cls_scores.shape[2]
 
         def cost_body(_, cm):
             cls_l, mask_l, key_l = cm
+            if lazy:
+                mask_l = all_mask_preds.layer(mask_l)  # embeds -> dense
             coords = jax.random.uniform(
                 key_l, (b, num_points, 2), jnp.float32)
             pred_pts = point_sample_shared(mask_l, coords)
@@ -514,16 +572,22 @@ def maskformer_loss(
 
         _, costs = jax.lax.scan(
             cost_body, None,
-            (all_cls_scores, all_mask_preds, match_keys))  # [L, B, nq, G]
+            (all_cls_scores,
+             all_mask_preds.embeds if lazy else all_mask_preds,
+             match_keys))  # [L, B, nq, G]
     else:
         def cost_body(_, cm):
             cls_l, mask_l = cm
+            if lazy:
+                mask_l = all_mask_preds.layer(mask_l)  # embeds -> dense
             c = cost_fn(cls_l, mask_l, gt.labels, gt_cost, gt.valid)
             return None, jax.lax.stop_gradient(c)
 
         _, costs = jax.lax.scan(
             cost_body, None,
-            (all_cls_scores, all_mask_preds))  # [L, B, nq, G]
+            (all_cls_scores,
+             all_mask_preds.embeds if lazy
+             else all_mask_preds))  # [L, B, nq, G]
     costs = costs.reshape(num_layers * b, -1, g)
     if matcher == "host":
         all_matched = hungarian_host(costs)  # one host round-trip, not L
@@ -548,23 +612,31 @@ def maskformer_loss(
     # layer's buffers live at a time.
     layer_fn_ckpt = jax.checkpoint(layer_fn)
 
+    mask_xs = all_mask_preds.embeds if lazy else all_mask_preds
+
+    def as_layer(mask_l):
+        # lazy: hand _layer_loss the (LazyMasks, embeds_l) pair so it only
+        # contracts the matched slots to pixels (never [B, nq, h, w])
+        return (all_mask_preds, mask_l) if lazy else mask_l
+
     if num_points:
         def body(_, inputs):
             cls_l, mask_l, matched_l, key_l = inputs
-            li = layer_fn_ckpt(cls_l, mask_l, matched_l, rng=key_l)
+            li = layer_fn_ckpt(cls_l, as_layer(mask_l), matched_l,
+                               rng=key_l)
             return None, li
 
         _, stacked = jax.lax.scan(
             body, None,
-            (all_cls_scores, all_mask_preds, all_matched, loss_keys))
+            (all_cls_scores, mask_xs, all_matched, loss_keys))
     else:
         def body(_, inputs):
             cls_l, mask_l, matched_l = inputs
-            li = layer_fn_ckpt(cls_l, mask_l, matched_l)
+            li = layer_fn_ckpt(cls_l, as_layer(mask_l), matched_l)
             return None, li
 
         _, stacked = jax.lax.scan(
-            body, None, (all_cls_scores, all_mask_preds, all_matched))
+            body, None, (all_cls_scores, mask_xs, all_matched))
 
     losses: dict[str, jax.Array] = {}
     for k in ("loss_cls", "loss_mask", "loss_dice"):

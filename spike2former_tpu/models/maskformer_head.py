@@ -91,6 +91,12 @@ class MaskFormerHead(nn.Module):
     # discarded work; False replays the literal all-layers eval, which is
     # what firing-rate analysis (tools/cal_firing_num.py) must measure.
     eval_last_only: bool = True
+    # Train-time output form: True returns (cls, LazyMasks) — the mask
+    # logits stay factored as (embeddings, mask features) and the loss
+    # contracts one layer (and only its matched slots) at a time, instead
+    # of materializing the [L, B, nq, h, w] stack (the largest train-step
+    # HBM allocation at flagship shapes).  Inference is unaffected.
+    lazy_masks: bool = False
     compat: bool = False
     remat: bool = False  # checkpoint DCN encoder layers (training memory)
     dtype: jnp.dtype = jnp.float32
@@ -180,9 +186,10 @@ class MaskFormerHead(nn.Module):
             (nq, nq))
         w_scale = self.param("w", nn.initializers.ones, (1,))
 
-        def sdme(out):
+        def sdme_embed(out):
             """out: [L, T, B, nq, C] query features → per-layer class
-            scores [L, B, nq, ncls+1] and mask logits [L, B, nq, h, w]."""
+            scores [L, B, nq, ncls+1] and post-spike mask embeddings
+            [L, T, B, nq, C] (the factored half of the mask logits)."""
             out_sig = jax.nn.sigmoid(
                 out.astype(jnp.float32)).astype(out.dtype)
             out_spiked = self.alpha * decoder_out_spike(out_sig)
@@ -198,7 +205,12 @@ class MaskFormerHead(nn.Module):
             sc = jnp.moveaxis(sc_t, -1, 3)
             mask_embed = mask_embed + w_scale * sc
             mask_embed = self.alpha * mask_embed_spike(mask_embed)
+            return cls_scores.astype(jnp.float32), mask_embed
 
+        def sdme(out):
+            """out: [L, T, B, nq, C] query features → per-layer class
+            scores [L, B, nq, ncls+1] and mask logits [L, B, nq, h, w]."""
+            cls_scores, mask_embed = sdme_embed(out)
             # [L,T,B,nq,C] x [T,B,h,w,C] -> [L,B,nq,h,w]: contract (T, C)
             # in one dot_general (== einsum('ltbqc,tbchw->ltbqhw').mean(T)
             # of the reference :581-582, without materializing the 6-D
@@ -206,7 +218,20 @@ class MaskFormerHead(nn.Module):
             mask_preds = jnp.einsum(
                 "ltbqc,tbhwc->lbqhw", mask_embed, mask_features,
                 preferred_element_type=jnp.float32) / t
-            return cls_scores.astype(jnp.float32), mask_preds
+            return cls_scores, mask_preds
+
+        # Factored train-time output: materializing every layer's dense
+        # mask logits is the largest train allocation (losses/criterion.py
+        # LazyMasks docstring); the loss contracts per layer instead.
+        lazy = train and self.lazy_masks
+
+        def sdme_out(out):
+            if lazy:
+                from ..losses.criterion import LazyMasks
+
+                cls_scores, mask_embed = sdme_embed(out)
+                return cls_scores, LazyMasks(mask_embed, mask_features)
+            return sdme(out)
 
         def attn_mask_from(mask_pred, lvl):
             hw = (multi_scale[lvl].shape[2], multi_scale[lvl].shape[3])
@@ -234,7 +259,7 @@ class MaskFormerHead(nn.Module):
             out = jnp.concatenate([query[None], outputs], axis=0)
             if not train and self.eval_last_only:
                 out = out[-1:]
-            return sdme(out)
+            return sdme_out(out)
         if self.decoder != "detr":
             raise ValueError(f"unknown decoder {self.decoder!r}")
 
@@ -259,7 +284,7 @@ class MaskFormerHead(nn.Module):
                 # inference the reference discards all but the last layer
                 # (:163-164), so skip the SDME work for the other six.
                 out = out[-1:]
-            return sdme(out)
+            return sdme_out(out)
 
         # Mask2Former mode: per-layer head + masked cross-attention.  The
         # SDME must run per layer anyway (its mask gates the next layer's
@@ -268,10 +293,21 @@ class MaskFormerHead(nn.Module):
         # here vs. over the stacked layers in MaskFormer mode — a
         # different-model-variant choice, not a numerical bug; eval uses
         # running averages and is unaffected.)
-        cls_list, mask_list = [], []
-        cls_i, mask_i = sdme(query[None])
-        cls_list.append(cls_i[0])
-        mask_list.append(mask_i[0])
+        cls_list, mask_list, embed_list = [], [], []
+
+        def step_sdme(q):
+            # the dense mask is needed per layer regardless (it gates the
+            # next layer's attention) but is transient; when lazy, only
+            # the embeddings are kept for the loss
+            cls_i, me_i = sdme_embed(q[None])
+            mask_i = jnp.einsum(
+                "ltbqc,tbhwc->lbqhw", me_i, mask_features,
+                preferred_element_type=jnp.float32) / t
+            cls_list.append(cls_i[0])
+            mask_list.append(mask_i[0])
+            embed_list.append(me_i[0])
+
+        step_sdme(query)
         for i in range(self.num_decoder_layers):
             lvl = i % self.num_feat_levels
             query = DetrDecoderLayer(
@@ -284,11 +320,14 @@ class MaskFormerHead(nn.Module):
                 qpos, decoder_pes[lvl],
                 cross_attn_mask=attn_mask_from(mask_list[-1], lvl),
                 train=train)
-            cls_i, mask_i = sdme(query[None])
-            cls_list.append(cls_i[0])
-            mask_list.append(mask_i[0])
+            step_sdme(query)
         if not train and self.eval_last_only:
             return cls_list[-1][None], mask_list[-1][None]
+        if lazy:
+            from ..losses.criterion import LazyMasks
+
+            return jnp.stack(cls_list), LazyMasks(
+                jnp.stack(embed_list), mask_features)
         return jnp.stack(cls_list), jnp.stack(mask_list)
 
 

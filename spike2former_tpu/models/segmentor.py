@@ -71,6 +71,8 @@ class Spike2Former(nn.Module):
     # False = replay the reference's literal all-layers SDME at eval
     # (firing-rate analysis); True skips the discarded layers' work
     eval_last_only: bool = True
+    # factored train-time mask predictions (see MaskFormerHead.lazy_masks)
+    lazy_masks: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -92,7 +94,8 @@ class Spike2Former(nn.Module):
             dcn_group=min(self.dcn_group, self.feat_channels),
             spike="qspike", compat=self.compat, remat=self.remat,
             masked_attention=self.masked_attention, decoder=self.decoder,
-            eval_last_only=self.eval_last_only, dtype=self.dtype)
+            eval_last_only=self.eval_last_only,
+            lazy_masks=self.lazy_masks, dtype=self.dtype)
 
     def __call__(self, images: jax.Array, train: bool = False,
                  valid_hw: jax.Array | None = None):
