@@ -66,21 +66,24 @@ def pack_codes(k: jax.Array) -> jax.Array:
     """Pack integer codes (values 0..15) two-per-byte.
 
     k: any-shape uint8/int array with values < 16.  Returns a flat uint8
-    array of ``ceil(size/2)`` bytes (low nibble = even index).
+    array of ``ceil(size/2)`` bytes (low nibble = first half of the flat
+    array, high nibble = second half).  Half-split pairing, NOT adjacent
+    pairing: an adjacent scheme needs a [N/2, 2] view, whose pair axis
+    lands in the TPU's 128-lane dimension and pads 64x (measured: a
+    bf16[67M, 2] temp padded to 16 GB OOM'd the B=16 packed-residuals
+    train step).  Here every intermediate stays 1-D.
     """
     flat = k.reshape(-1).astype(jnp.uint8)
     n = flat.shape[0]
     if n % 2:
         flat = jnp.concatenate([flat, jnp.zeros((1,), jnp.uint8)])
-    pairs = flat.reshape(-1, 2)
-    return pairs[:, 0] | (pairs[:, 1] << 4)
+    half = flat.shape[0] // 2
+    return flat[:half] | (flat[half:] << 4)
 
 
 def unpack_codes(packed: jax.Array, shape: tuple[int, ...]) -> jax.Array:
     """Inverse of :func:`pack_codes` for a target ``shape``."""
-    lo = packed & 0xF
-    hi = packed >> 4
-    flat = jnp.stack([lo, hi], axis=1).reshape(-1)
+    flat = jnp.concatenate([packed & 0xF, packed >> 4])
     return flat[: math.prod(shape)].reshape(shape)
 
 
