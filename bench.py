@@ -35,15 +35,41 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # BENCH_NOTES.md).
 CPU_REF_IMG_PER_SEC = 0.030
 
-# Last chip-measured value (BENCH_r02.json, v5e, 2026-08-17).  Emitted
-# with "degraded": true when the backend cannot be reached so the
-# scoreboard never records parsed=null for a backend outage.
-LAST_KNOWN_GOOD = 207.19
+# Fallback when even the LKG file is missing: last chip-measured value
+# (work_dirs/chip_campaign.log, v5e, 2026-08-19).  Every successful run
+# persists its measurement to LKG_PATH, so this constant only matters on
+# a fresh checkout during an outage.
+LAST_KNOWN_GOOD = 211.34
+LAST_KNOWN_GOOD_DATE = "2026-08-19"
+LKG_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "work_dirs", "bench_lkg.json")
 
 METRIC = "ade20k_512x512_T4_images_per_sec_per_chip"
 
 
-def _emit(value, degraded=False):
+def _read_lkg():
+    """(value, measured_at) of the last successful chip measurement."""
+    try:
+        with open(LKG_PATH) as f:
+            rec = json.load(f)
+        return float(rec["value"]), rec.get("measured_at")
+    except Exception:
+        return LAST_KNOWN_GOOD, LAST_KNOWN_GOOD_DATE
+
+
+def _write_lkg(value):
+    try:
+        os.makedirs(os.path.dirname(LKG_PATH), exist_ok=True)
+        with open(LKG_PATH, "w") as f:
+            json.dump({"value": round(value, 2),
+                       "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S%z")},
+                      f)
+    except Exception as e:  # persisting LKG must never fail the bench
+        print(f"bench: could not persist LKG ({e})", file=sys.stderr,
+              flush=True)
+
+
+def _emit(value, degraded=False, measured_at=None):
     rec = {
         "metric": METRIC,
         "value": None if value is None else round(value, 2),
@@ -53,6 +79,9 @@ def _emit(value, degraded=False):
     }
     if degraded:
         rec["degraded"] = True
+        # when the fallback value was actually measured, so a stale
+        # number can never masquerade as fresh (round-4 weak #4)
+        rec["measured_at"] = measured_at
     print(json.dumps(rec), flush=True)
 
 
@@ -121,36 +150,47 @@ def _measure() -> float:
 
 
 def main():
+    lkg, lkg_at = _read_lkg()
     if not _backend_up():
         print("bench: backend down; emitting last-known-good (degraded)",
               file=sys.stderr, flush=True)
-        _emit(LAST_KNOWN_GOOD, degraded=True)
+        _emit(lkg, degraded=True, measured_at=lkg_at)
         return
     # The measurement ALSO runs in a killable subprocess: the tunnel can
     # flap between the probe and the in-process backend init, and a hung
     # init (~35 min during outages) raises nothing — an in-process
     # try/except would never fire and the driver timeout would kill us
     # before the JSON line prints (the round-3 failure mode).
-    try:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--inner"],
-            timeout=420, capture_output=True, text=True)
-        sys.stderr.write(r.stderr)
-        for line in r.stdout.splitlines():
-            if line.startswith("BENCH_VALUE "):
-                _emit(float(line.split()[1]))
-                return
-        print(f"bench: inner run produced no value (rc={r.returncode}); "
-              "emitting last-known-good (degraded)",
-              file=sys.stderr, flush=True)
-    except subprocess.TimeoutExpired:
-        print("bench: inner run timed out; emitting last-known-good "
-              "(degraded)", file=sys.stderr, flush=True)
-    except Exception as e:  # never leave the scoreboard empty
-        print(f"bench: measurement failed ({type(e).__name__}: {e}); "
-              "emitting last-known-good (degraded)",
-              file=sys.stderr, flush=True)
-    _emit(LAST_KNOWN_GOOD, degraded=True)
+    #
+    # TWO attempts: a cold persistent-compile-cache run can outlast the
+    # first timeout (the round-4 failure mode — 207.19 re-emitted hours
+    # after 211.34 was measured), but the killed attempt has already
+    # written the compile cache, so the retry compiles warm in ~40 s.
+    for attempt, tmo in enumerate((420, 300)):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--inner"],
+                timeout=tmo, capture_output=True, text=True)
+            sys.stderr.write(r.stderr)
+            for line in r.stdout.splitlines():
+                if line.startswith("BENCH_VALUE "):
+                    value = float(line.split()[1])
+                    _write_lkg(value)
+                    _emit(value)
+                    return
+            print(f"bench: inner run produced no value "
+                  f"(rc={r.returncode}, attempt {attempt + 1})",
+                  file=sys.stderr, flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"bench: inner run timed out (attempt {attempt + 1}; "
+                  "compile cache now warm, retrying)",
+                  file=sys.stderr, flush=True)
+        except Exception as e:  # never leave the scoreboard empty
+            print(f"bench: measurement failed ({type(e).__name__}: {e})",
+                  file=sys.stderr, flush=True)
+    print("bench: all attempts failed; emitting last-known-good (degraded)",
+          file=sys.stderr, flush=True)
+    _emit(lkg, degraded=True, measured_at=lkg_at)
 
 
 if __name__ == "__main__":

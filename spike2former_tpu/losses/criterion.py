@@ -326,6 +326,13 @@ def _layer_loss(cls_scores, mask_preds, matched_q, gt: GroundTruth,
     # ``mask_preds`` is either the dense [B, nq, h, w] layer logits or a
     # (LazyMasks, embeds_l) pair — in the lazy form only the G matched
     # slots are ever contracted to pixels (LazyMasks docstring).
+    if isinstance(mask_preds, LazyMasks):
+        # LazyMasks is itself a tuple: without this guard it would silently
+        # unpack as (lm, embeds_l) and compute garbage.  Callers pass the
+        # whole-stack LazyMasks to ``maskformer_loss``, never here.
+        raise TypeError(
+            "_layer_loss takes a (LazyMasks, embeds_l) pair per layer, "
+            "not a bare LazyMasks")
     lazy = isinstance(mask_preds, tuple)
     if lazy:
         lm, embeds_l = mask_preds
@@ -554,7 +561,6 @@ def maskformer_loss(
             jax.random.fold_in(rng, 0), num_layers)
         loss_keys = jax.random.split(
             jax.random.fold_in(rng, 1), num_layers)
-        nq = all_cls_scores.shape[2]
 
         def cost_body(_, cm):
             cls_l, mask_l, key_l = cm

@@ -12,6 +12,10 @@ from .msresnet import MSResNet, SnnBasicBlock
 from .cyclemlp import CycleFC, CycleMLP, CycleBlock
 from .deformable import (SpikeMSDeformAttention, SpikeDeformableEncoder,
                          SpikeDeformableEncoderLayer)
+from .spikeformer_lib import (SpikeformerSelfAttention,
+                              SpikeformerCrossAttention, SpikeformerMLP,
+                              SpikeformerDecoderLayer,
+                              BaseTransformerDecoderLayer, QueryProposal)
 
 __all__ = [
     "SpikingMetaFormer", "MaskFormerHead", "semantic_inference",
@@ -23,4 +27,7 @@ __all__ = [
     "MSResNet", "SnnBasicBlock", "CycleFC", "CycleMLP", "CycleBlock",
     "SpikeMSDeformAttention", "SpikeDeformableEncoder",
     "SpikeDeformableEncoderLayer",
+    "SpikeformerSelfAttention", "SpikeformerCrossAttention",
+    "SpikeformerMLP", "SpikeformerDecoderLayer",
+    "BaseTransformerDecoderLayer", "QueryProposal",
 ]

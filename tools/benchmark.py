@@ -114,9 +114,31 @@ def main():
             from spike2former_tpu.utils.flops import (cost_analysis,
                                                       dcn_sampling_flops)
 
-            costs = cost_analysis(lambda s, i, g: step(s, i, g),
-                                  state, x, sem)
-            fl = costs.get("flops", float("nan"))
+            if args.accum_steps > 1:
+                # XLA's cost analysis counts a while/scan body ONCE, so the
+                # full accum program under-reports by ~accum_steps (the
+                # round-4 "2.8% MFU at accum-3" anomaly was exactly this:
+                # 1598 ms ≈ 3 x the 536 ms single-microbatch step, but the
+                # FLOPs stayed at one microbatch's).  Cost the accum=1
+                # program on one microbatch and scale; the (accum-1) extra
+                # optimizer-update countings are <0.1% of a step.
+                step1 = jax.jit(make_train_step(
+                    model, tx, num_classes=cfg.model.num_classes,
+                    max_gt=cfg.train.max_gt, matcher=cfg.train.matcher,
+                    loss_at=cfg.train.loss_at, accum_steps=1,
+                    compact_gt=cfg.train.compact_gt,
+                    num_points=cfg.train.loss_points,
+                    oversample_ratio=cfg.train.loss_points_oversample,
+                    importance_sample_ratio=cfg.train.loss_points_importance,
+                    seed=cfg.train.seed))
+                costs = cost_analysis(
+                    lambda s, i, g: step1(s, i, g), state,
+                    x[:args.batch_size], sem[:args.batch_size])
+                fl = costs.get("flops", float("nan")) * args.accum_steps
+            else:
+                costs = cost_analysis(lambda s, i, g: step(s, i, g),
+                                      state, x, sem)
+                fl = costs.get("flops", float("nan"))
             mfu = fl / dt / (args.peak_tflops * 1e12)
             flops_str = f", {fl/1e12:.2f} TFLOP/step, MFU {mfu*100:.1f}%"
             if (jax.default_backend() == "tpu"

@@ -5,10 +5,19 @@ mask losses, optimizer update.
 
 Pieces are timed as separately-jitted programs, so the numbers are
 indicative (XLA fuses differently inside the full step) but they bound the
-component costs.  Env knobs: B (batch), T, LOSS_AT (gt|pred),
-MATCHER (auction|host).
+component costs.  The model and every loss call are built from the SAME
+config the shipped train path uses (``get_config``/``build_model``), so
+defaults like ``lazy_masks``/``remat``/``compact_gt`` are honored — a
+round-4 advisor finding: direct ``Spike2Former(...)`` construction here
+silently measured the pre-LazyMasks dense-mask program (and OOM'd at
+B=16).
+
+Env knobs: B (batch), T, LOSS_AT (gt|pred), MATCHER (auction|host),
+CFG (preset name), CFG_OPTS (space-separated --cfg-options overrides,
+e.g. "train.loss_points=12544 model.remat=True").
 """
 import os
+import shlex
 import sys
 import time
 
@@ -40,26 +49,44 @@ def main():
         os.path.abspath(__file__))), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import functools
+
     import jax.numpy as jnp
     import numpy as np
     import optax
 
     from spike2former_tpu.engine import make_optimizer, make_train_step
+    from spike2former_tpu.engine.config import build_model, get_config
     from spike2former_tpu.engine.train import TrainState
-    from spike2former_tpu.losses.criterion import (maskformer_loss,
+    from spike2former_tpu.losses.criterion import (LazyMasks,
+                                                   maskformer_loss,
                                                    semantic_to_instances)
     from spike2former_tpu.losses.matcher import auction_match, match_costs
-    from spike2former_tpu.models import Spike2Former
     from spike2former_tpu.models.segmentor import preprocess
     from spike2former_tpu.utils import fast_variables
 
     batch = int(os.environ.get("B", 16))
-    T = int(os.environ.get("T", 4))
-    loss_at = os.environ.get("LOSS_AT", "gt")
-    matcher = os.environ.get("MATCHER", "auction")
-    num_classes = 150
+    cfg = get_config(os.environ.get(
+        "CFG", "SDTv2_maskformer_DCNpixelDecoder_ade20k"),
+        shlex.split(os.environ.get("CFG_OPTS", "")))
+    cfg.model.dtype = "bfloat16"
+    if "T" in os.environ:
+        cfg.model.T = int(os.environ["T"])
+    if "LOSS_AT" in os.environ:
+        cfg.train.loss_at = os.environ["LOSS_AT"]
+    if "MATCHER" in os.environ:
+        cfg.train.matcher = os.environ["MATCHER"]
+    num_classes = cfg.model.num_classes
+    tr = cfg.train
 
-    model = Spike2Former(num_classes=num_classes, T=T, dtype=jnp.bfloat16)
+    loss_kw = dict(num_classes=num_classes, matcher=tr.matcher,
+                   loss_at=tr.loss_at, compact_gt=tr.compact_gt or None,
+                   num_points=tr.loss_points,
+                   oversample_ratio=tr.loss_points_oversample,
+                   importance_sample_ratio=tr.loss_points_importance)
+    loss_rng = jax.random.PRNGKey(tr.seed) if tr.loss_points else None
+
+    model = build_model(cfg.model)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(0, 255, (batch, 512, 512, 3)), jnp.float32)
     # realistic GT: ~16 distinct classes per crop (blocky), matching real
@@ -75,20 +102,32 @@ def main():
                        params=variables["params"],
                        batch_stats=variables.get("batch_stats", {}),
                        opt_state=tx.init(variables["params"]))
-    print(f"B={batch} T={T} loss_at={loss_at} matcher={matcher}")
+    print(f"B={batch} T={cfg.model.T} loss_at={tr.loss_at} "
+          f"matcher={tr.matcher} lazy_masks={cfg.model.lazy_masks} "
+          f"remat={cfg.model.remat} loss_points={tr.loss_points}")
 
-    # 1. full train step
-    step = jax.jit(make_train_step(model, tx, num_classes=num_classes,
-                                   matcher=matcher, loss_at=loss_at))
+    # 1. full train step (identical knobs to tools/train.py)
+    step = jax.jit(make_train_step(
+        model, tx, num_classes=num_classes, max_gt=tr.max_gt,
+        matcher=tr.matcher, loss_at=tr.loss_at, compact_gt=tr.compact_gt,
+        num_points=tr.loss_points,
+        oversample_ratio=tr.loss_points_oversample,
+        importance_sample_ratio=tr.loss_points_importance, seed=tr.seed))
     t_full = timeit(lambda s: step(s, x, sem)[1]["total"], state)
     print(f"full train step:          {t_full:8.1f} ms")
 
     # 2. train-mode forward only (model apply with mutable BN)
-    def fwd(params, stats):
+    def fwd_raw(params, stats):
         xx = preprocess(x)
         (cls, masks), upd = model.apply(
             {"params": params, "batch_stats": stats}, xx, True,
             mutable=["batch_stats"])
+        return cls, masks
+
+    def fwd(params, stats):
+        cls, masks = fwd_raw(params, stats)
+        if isinstance(masks, LazyMasks):
+            return cls[-1], masks.embeds[-1]
         return cls[-1], masks[-1]
 
     fwd_j = jax.jit(fwd)
@@ -97,14 +136,10 @@ def main():
 
     # 3. forward + full loss, no grad
     def loss_only(params, stats):
-        xx = preprocess(x)
-        (cls, masks), _ = model.apply(
-            {"params": params, "batch_stats": stats}, xx, True,
-            mutable=["batch_stats"])
-        gt = semantic_to_instances(sem, num_classes, 64)
-        return maskformer_loss(cls, masks, gt, num_classes=num_classes,
-                               matcher=matcher, loss_at=loss_at,
-                               compact_gt=32)["total"]
+        cls, masks = fwd_raw(params, stats)
+        gt = semantic_to_instances(sem, num_classes, tr.max_gt)
+        return maskformer_loss(cls, masks, gt, rng=loss_rng,
+                               **loss_kw)["total"]
 
     loss_j = jax.jit(loss_only)
     t_loss = timeit(lambda: loss_j(state.params, state.batch_stats))
@@ -132,22 +167,42 @@ def main():
           f"(model bwd ~= {t_mgrad - t_fwd:.1f})")
 
     # 4c. loss pipeline alone on FIXED predictions (fwd excluded):
-    # matching + deep-supervised losses + their backward
-    def fixed_loss(cls, masks):
-        gt = semantic_to_instances(sem, num_classes, 64)
-        return maskformer_loss(cls, masks, gt, num_classes=num_classes,
-                               matcher=matcher, loss_at=loss_at,
-                               compact_gt=32)["total"]
-
+    # matching + deep-supervised losses + their backward.  Fixed preds are
+    # carried in the same form the model emits (factored when lazy_masks).
+    nq = cfg.model.num_queries
+    nl = cfg.model.num_decoder_layers + 1
     key = jax.random.PRNGKey(0)
-    cls_fix = jax.random.normal(key, (7, batch, 100, num_classes + 1),
+    cls_fix = jax.random.normal(key, (nl, batch, nq, num_classes + 1),
                                 jnp.float32)
-    mask_fix = jax.random.normal(key, (7, batch, 100, 128, 128),
-                                 jnp.float32)
+    if cfg.model.lazy_masks:
+        c = cfg.model.feat_channels
+        t_steps = 1 if cfg.model.collapse_t else cfg.model.T
+        mask_fix = LazyMasks(
+            jax.random.normal(key, (nl, t_steps, batch, nq, c),
+                              jnp.bfloat16),
+            jax.random.normal(key, (t_steps, batch, 128, 128, c),
+                              jnp.bfloat16))
+        fix_args = (cls_fix, mask_fix.embeds, mask_fix.feats)
+
+        def fixed_loss(cls, embeds, feats):
+            gt = semantic_to_instances(sem, num_classes, tr.max_gt)
+            return maskformer_loss(cls, LazyMasks(embeds, feats), gt,
+                                   rng=loss_rng, **loss_kw)["total"]
+    else:
+        mask_fix = jax.random.normal(key, (nl, batch, nq, 128, 128),
+                                     jnp.float32)
+        fix_args = (cls_fix, mask_fix)
+
+        def fixed_loss(cls, masks):
+            gt = semantic_to_instances(sem, num_classes, tr.max_gt)
+            return maskformer_loss(cls, masks, gt, rng=loss_rng,
+                                   **loss_kw)["total"]
+
     lf_j = jax.jit(fixed_loss)
-    t_lf = timeit(lambda: lf_j(cls_fix, mask_fix))
-    lfg_j = jax.jit(jax.grad(fixed_loss, argnums=(0, 1)))
-    t_lfg = timeit(lambda: lfg_j(cls_fix, mask_fix))
+    t_lf = timeit(lambda: lf_j(*fix_args))
+    lfg_j = jax.jit(jax.grad(fixed_loss,
+                             argnums=tuple(range(len(fix_args)))))
+    t_lfg = timeit(lambda: lfg_j(*fix_args))
     print(f"losses on fixed preds:    {t_lf:8.1f} ms fwd, "
           f"{t_lfg:8.1f} ms fwd+bwd")
 
@@ -158,7 +213,7 @@ def main():
         feats, _ = model.apply(
             {"params": params, "batch_stats": stats}, xx, True,
             mutable=["batch_stats"],
-            method=lambda m, im, tr: m.backbone(im, tr))
+            method=lambda m, im, trn: m.backbone(im, trn))
         return sum(jnp.sum(f.astype(jnp.float32)) for f in feats)
 
     bb_j = jax.jit(backbone_scalar)
@@ -173,7 +228,7 @@ def main():
         lambda p, s: model.apply(
             {"params": p, "batch_stats": s}, preprocess(x), True,
             mutable=["batch_stats"],
-            method=lambda m, im, tr: m.backbone(im, tr))[0]
+            method=lambda m, im, trn: m.backbone(im, trn))[0]
     )(state.params, state.batch_stats)
     feats_fix = jax.tree_util.tree_map(
         jax.lax.stop_gradient, feats_fix)
@@ -182,9 +237,11 @@ def main():
         (cls, masks), _ = model.apply(
             {"params": params, "batch_stats": stats}, feats_fix, True,
             mutable=["batch_stats"],
-            method=lambda m, fs, tr: m.head(fs, tr))
+            method=lambda m, fs, trn: m.head(fs, trn))
+        m_last = (masks.embeds[-1] if isinstance(masks, LazyMasks)
+                  else masks[-1])
         return (jnp.sum(cls[-1].astype(jnp.float32))
-                + jnp.sum(masks[-1].astype(jnp.float32)))
+                + jnp.sum(m_last.astype(jnp.float32)))
 
     hd_j = jax.jit(head_scalar)
     t_hd = timeit(lambda: hd_j(state.params, state.batch_stats))
@@ -206,21 +263,18 @@ def main():
 
     # 6. matching alone at the final-layer shapes (downsampled GT)
     def match_only(params, stats):
-        import functools
-
-        xx = preprocess(x)
-        (cls, masks), _ = model.apply(
-            {"params": params, "batch_stats": stats}, xx, True,
-            mutable=["batch_stats"])
-        gt = semantic_to_instances(sem, num_classes, 64)
+        cls, masks = fwd_raw(params, stats)
+        mask_last = (masks.layer(masks.embeds[-1])
+                     if isinstance(masks, LazyMasks) else masks[-1])
+        gt = semantic_to_instances(sem, num_classes, tr.max_gt)
         from spike2former_tpu.ops.resize import resize_nearest_torch
         gtm = resize_nearest_torch(
-            gt.dense_masks()[..., None], masks[-1].shape[-2:])[..., 0]
+            gt.dense_masks()[..., None], mask_last.shape[-2:])[..., 0]
         cost = jax.vmap(functools.partial(match_costs))(
-            cls[-1], masks[-1], gt.labels, gtm, gt.valid)
+            cls[-1], mask_last, gt.labels, gtm, gt.valid)
         return auction_match(cost)
 
-    if matcher == "auction":
+    if tr.matcher == "auction":
         match_j = jax.jit(match_only)
         t_match = timeit(lambda: match_j(state.params, state.batch_stats))
         print(f"forward + 1-layer match:  {t_match:8.1f} ms "

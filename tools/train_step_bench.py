@@ -19,8 +19,8 @@ def main():
     import numpy as np
 
     from spike2former_tpu.engine import make_optimizer, make_train_step
+    from spike2former_tpu.engine.config import build_model, get_config
     from spike2former_tpu.engine.train import TrainState
-    from spike2former_tpu.models import Spike2Former
     from spike2former_tpu.utils import fast_variables
 
     batch = int(os.environ.get("B", 4))
@@ -31,8 +31,13 @@ def main():
     accum = int(os.environ.get("ACCUM", 1))
     iters = int(os.environ.get("ITERS", 10))
 
-    model = Spike2Former(num_classes=150, T=T, dtype=jnp.bfloat16,
-                         remat=remat)
+    # build via the config system so train-path defaults (lazy_masks)
+    # match the shipped train program
+    cfg = get_config("SDTv2_maskformer_DCNpixelDecoder_ade20k")
+    cfg.model.T = T
+    cfg.model.remat = remat
+    cfg.model.dtype = "bfloat16"
+    model = build_model(cfg.model)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(0, 255, (batch, 512, 512, 3)), jnp.float32)
     sem = jnp.asarray(rng.integers(0, 150, (batch, 512, 512)), jnp.int32)
