@@ -358,15 +358,21 @@ def _layer_loss(cls_scores, mask_preds, matched_q, gt: GroundTruth,
 
     if point_cfg is not None:
         n_pts, osr, imp = point_cfg
-        # coords under no_grad (reference :409-414), per matched pair
+        # coords under no_grad (reference :409-414), per matched pair.
+        # Stop-gradient samplers run their one-hot contractions in bf16
+        # (uncertainty only ranks candidates; GT {0,1} targets get <=0.4%
+        # lerp-weight rounding on boundary points) — the gradient-carrying
+        # pred sampling below stays f32.
         coords = uncertain_point_coords(
             rng, jax.lax.stop_gradient(pred_at_gt.astype(jnp.float32)),
-            n_pts, osr, imp)  # [B, G, P, 2]
+            n_pts, osr, imp, dtype=jnp.bfloat16)  # [B, G, P, 2]
         pred_pts = point_sample(pred_at_gt, coords)  # [B, G, P]
         if gt.masks is None:
-            tgt_pts = point_sample_slot(gt.slot_map, g, coords)
+            tgt_pts = point_sample_slot(gt.slot_map, g, coords,
+                                        dtype=jnp.bfloat16)
         else:
-            tgt_pts = point_sample(gt.masks, coords)
+            tgt_pts = point_sample(gt.masks.astype(jnp.bfloat16), coords,
+                                   dtype=jnp.bfloat16)
         tgt_pts = jax.lax.stop_gradient(tgt_pts)
         loss_dice = dice_loss(
             pred_pts.reshape(b * g, n_pts), tgt_pts.reshape(b * g, n_pts),
@@ -458,8 +464,10 @@ def maskformer_loss(
     valid columns nor any loss term changes.  A ``lax.cond`` dispatches to
     the full-width branch on the (rare, ``dropped_gt``-style observable)
     overflow, so the result is bit-identical to ``compact_gt=None`` for
-    every input; the host matcher is excluded (pure_callback inside cond
-    branches is not supported on all backends).
+    every input — except under ``num_points``, where the narrower G axis
+    changes which threefry uniforms each pair draws (same distribution,
+    different stream; see the inline note).  The host matcher is excluded
+    (pure_callback inside cond branches is not supported on all backends).
 
     ``num_points > 0`` switches matching costs and mask losses to the
     point-sampled Mask2Former recipe (see ``_layer_loss`` and
@@ -471,14 +479,18 @@ def maskformer_loss(
     if num_points and rng is None:
         raise ValueError("num_points > 0 requires an rng key")
     g_full = gt.labels.shape[1]
-    # Point mode skips the compact fast path: threefry assigns uniforms by
-    # flattened position, so per-pair point draws under a narrower G axis
-    # would differ numerically from the full-width ones and break this
-    # function's bit-identity contract — and the compact path's payoff
-    # (avoiding G_full-wide mask-loss work) is moot when losses run on
-    # num_points samples instead of pixels.
+    # Compact-width caveat in point mode: threefry assigns uniforms by
+    # flattened position, so per-pair point draws under the narrower G
+    # axis differ numerically from full-width draws — same distribution,
+    # different stream.  Losses are therefore exactly-equal to
+    # ``compact_gt=None`` only up to the point draw; everything the
+    # points are USED for (uncertainty selection, sampling, loss
+    # formulas) is unchanged.  The payoff is real: every per-pair point
+    # cost (uncertainty oversampling, loss sampling fwd+bwd, GT target
+    # sampling) scales with B*G, and G_full=64 vs ~16 valid slots was a
+    # measured 2-4x on the point-path step.
     if (compact_gt is not None and compact_gt < g_full
-            and matcher != "host" and not num_points):
+            and matcher != "host"):
         gc = compact_gt
         kw = dict(num_classes=num_classes, bg_class_weight=bg_class_weight,
                   focal_weight=focal_weight, dice_weight=dice_weight,

@@ -88,7 +88,7 @@ def _selectors(coords: jax.Array, h: int, w: int):
 
 
 def point_sample(masks: jax.Array, coords: jax.Array, *,
-                 chunk: int = 2048) -> jax.Array:
+                 chunk: int = 2048, dtype=None) -> jax.Array:
     """mmcv ``point_sample`` (grid_sample, align_corners=False, zero pad).
 
     masks [..., H, W]; coords [..., P, 2] normalized (x, y) in [0, 1] with
@@ -98,17 +98,24 @@ def point_sample(masks: jax.Array, coords: jax.Array, *,
     forward and the mask gradient are MXU contractions — no gather in the
     forward, no scatter in the backward.  ``chunk`` bounds the [N, Pc, W]
     intermediate; chunks run under lax.map + checkpoint.
+
+    ``dtype`` sets the contraction input dtype (accumulation stays f32).
+    bf16 doubles MXU rate and halves the selector-build traffic at ~3
+    decimal digits of lerp-weight precision — right for stop-gradient
+    consumers (uncertainty ranking, matching costs, {0,1} GT targets);
+    keep the f32 default where sampled values carry gradients.
     """
     *lead, h, w = masks.shape
     p = coords.shape[-2]
-    m = masks.astype(jnp.float32).reshape(-1, h, w)
+    ct = dtype or jnp.float32
+    m = masks.astype(ct).reshape(-1, h, w)
     n = max(m.shape[0], 1)
     cf = coords.astype(jnp.float32).reshape(n, p, 2)
 
     @jax.checkpoint
     def sample(c):
         ry, cx = _selectors(c, h, w)
-        tmp = jnp.einsum("nph,nhw->npw", ry, m,
+        tmp = jnp.einsum("nph,nhw->npw", ry.astype(ct), m,
                          preferred_element_type=jnp.float32)
         return (tmp * cx).sum(-1)
 
@@ -145,32 +152,66 @@ def point_sample_shared(masks: jax.Array, coords: jax.Array) -> jax.Array:
 
 
 def point_sample_slot(slot_map: jax.Array, num_slots: int,
-                      coords: jax.Array) -> jax.Array:
+                      coords: jax.Array, *, dtype=None) -> jax.Array:
     """Bilinearly point-sample every slot's binary mask from a slot map.
 
     slot_map [B, H, W] int32 (pixel -> slot, ``num_slots`` = background);
     coords either [B, P, 2] (shared across slots) or [B, G, P, 2]
-    (per-pair points).  Returns [B, G, P] f32 — bit-equal to
-    ``point_sample(dense_masks, coords)`` without the [B, G, H, W] buffer.
+    (per-pair points).  Returns [B, G, P] f32, equal to
+    ``point_sample(dense_masks, coords)``.
+
+    TPU formulations (both replaced 4-tap ``take_along_axis`` scalar
+    gathers, measured 610 ms/layer at the flagship per-pair shape —
+    ~100M scalar gathers/s is the XLA-TPU gather ceiling):
+
+    * per-pair: one-hot selector MATMULS over dense per-slot {0,1} masks
+      (``point_sample``; masks exact in any float dtype) — MXU-bound.
+      ``dtype`` is the contraction dtype (f32 default = bit-exact
+      bilinear; the train criterion passes bf16 for these stop-gradient
+      targets: only boundary-straddling points get fractional values and
+      the ~0.4% lerp-weight rounding is far below the losses'
+      sensitivity).
+    * shared coords: the 2x2 slot-id neighborhood (ids < 255) of the
+      1px-padded map is packed into ONE int32 table entry, so each point
+      costs a single gather instead of four; 255 marks out-of-bounds and
+      never matches a slot (grid_sample zero padding).  Exact.
     """
     b, h, w = slot_map.shape
     g = num_slots
-    slots = jnp.arange(g, dtype=slot_map.dtype)
     per_pair = coords.ndim == 4
     p = coords.shape[-2]
-    flat = slot_map.reshape(b, h * w)
+    if per_pair:
+        slots = jnp.arange(g, dtype=slot_map.dtype)
+        ct = dtype or jnp.float32
+        dense = (slot_map[:, None] == slots[None, :, None, None]).astype(ct)
+        return point_sample(dense, coords, dtype=ct)
+
+    sp = jnp.pad(slot_map.astype(jnp.uint32), ((0, 0), (1, 1), (1, 1)),
+                 constant_values=255)
+    tab = (sp[:, :-1, :-1]
+           | (sp[:, :-1, 1:] << 8)
+           | (sp[:, 1:, :-1] << 16)
+           | (sp[:, 1:, 1:] << 24)).astype(jnp.int32)
+    tw = w + 1
+    flat = tab.reshape(b, (h + 1) * tw)
+    cf = coords.astype(jnp.float32)
+    y0 = jnp.floor(cf[..., 1] * h - 0.5).astype(jnp.int32)
+    x0 = jnp.floor(cf[..., 0] * w - 0.5).astype(jnp.int32)
+    # y0 in [-1, h-1], x0 in [-1, w-1] for coords in [0, 1] -> +1 indexes
+    # the padded table in range
+    idx = (y0 + 1) * tw + (x0 + 1)
+    # coords beyond [0, 1] can push idx out of the padded table; the
+    # clamped gather may then read real slot ids, so keep the per-tap
+    # ``inb`` mask (for in-range coords the 255 marker already suffices)
+    idx = jnp.clip(idx, 0, (h + 1) * tw - 1)
+    packed = jnp.take_along_axis(flat, idx, axis=1).astype(jnp.uint32)
+    ids = ((packed & 0xFF), (packed >> 8) & 0xFF,
+           (packed >> 16) & 0xFF, (packed >> 24) & 0xFF)
+    slots = jnp.arange(g, dtype=jnp.uint32)
     out = jnp.zeros((b, g, p), jnp.float32)
-    for yi, xi, wgt, inb in _taps(coords, h, w):
-        idx = (yi * w + xi).reshape(b, -1)
-        s = jnp.take_along_axis(flat, idx, axis=1)
-        if per_pair:
-            s = s.reshape(b, g, p)
-            hit = (s == slots[None, :, None])
-            t = jnp.where(inb & hit, 1.0, 0.0) * wgt
-        else:
-            hit = (s[:, None, :] == slots[None, :, None])
-            t = jnp.where(inb[:, None, :] & hit, 1.0, 0.0) * wgt[:, None, :]
-        out = out + t
+    for sid, (yi, xi, wgt, inb) in zip(ids, _taps(cf, h, w)):
+        hit = (sid[:, None, :] == slots[None, :, None]) & inb[:, None, :]
+        out = out + jnp.where(hit, 1.0, 0.0) * wgt[:, None, :]
     return out
 
 
@@ -182,8 +223,8 @@ def get_uncertainty(logits: jax.Array) -> jax.Array:
 
 def uncertain_point_coords(rng: jax.Array, mask_logits: jax.Array,
                            num_points: int, oversample_ratio: float = 3.0,
-                           importance_sample_ratio: float = 0.75
-                           ) -> jax.Array:
+                           importance_sample_ratio: float = 0.75,
+                           *, dtype=None) -> jax.Array:
     """``get_uncertain_point_coords_with_randomness`` (point_sample.py:
     34-88): oversample uniform points, keep the ``importance`` fraction
     with the most uncertain *sampled* logits, refill with fresh uniforms.
@@ -191,6 +232,15 @@ def uncertain_point_coords(rng: jax.Array, mask_logits: jax.Array,
     mask_logits [..., H, W] -> coords [..., num_points, 2].  Pure given
     ``rng``; callers stop-gradient the logits (the reference computes
     coords under no_grad).
+
+    TPU notes: the top-k selection co-sorts the (x, y) coordinate
+    operands with the uncertainty key in ONE ``lax.sort`` — selecting
+    via top_k indices + ``take_along_axis`` is the same math but the
+    [..., k, 2] coordinate gather measured minutes/call at flagship
+    shapes (axis=-2 scalar gathers).  ``dtype`` feeds the inner
+    ``point_sample`` (bf16 halves the one-hot sampling cost; uncertainty
+    only RANKS points, so lerp rounding can at most swap near-tied
+    selections — same class of tie-break freedom top_k already has).
     """
     assert oversample_ratio >= 1
     assert 0 <= importance_sample_ratio <= 1
@@ -200,9 +250,11 @@ def uncertain_point_coords(rng: jax.Array, mask_logits: jax.Array,
     n_rand = num_points - n_imp
     r1, r2 = jax.random.split(rng)
     coords = jax.random.uniform(r1, (*lead, n_sampled, 2), jnp.float32)
-    unc = get_uncertainty(point_sample(mask_logits, coords))
-    _, idx = jax.lax.top_k(unc, n_imp)  # [..., n_imp]
-    sel = jnp.take_along_axis(coords, idx[..., None], axis=-2)
+    unc = get_uncertainty(point_sample(mask_logits, coords, dtype=dtype))
+    # descending sort by -uncertainty == top_k selection (ties reordered)
+    _, sx, sy = jax.lax.sort(
+        (-unc, coords[..., 0], coords[..., 1]), num_keys=1)
+    sel = jnp.stack([sx[..., :n_imp], sy[..., :n_imp]], axis=-1)
     if n_rand > 0:
         sel = jnp.concatenate(
             [sel, jax.random.uniform(r2, (*lead, n_rand, 2), jnp.float32)],

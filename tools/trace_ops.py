@@ -81,7 +81,10 @@ def main():
     mode = os.environ.get("MODE", "grad")
     trace_dir = os.environ.get("TRACE_DIR", "/tmp/jax_trace")
 
-    model = Spike2Former(num_classes=150, T=T, dtype=jnp.bfloat16)
+    # lazy_masks matches the shipped train program (ModelConfig default);
+    # the dense stack would trace a different (OOM-prone at B=16) program
+    model = Spike2Former(num_classes=150, T=T, dtype=jnp.bfloat16,
+                         lazy_masks=mode == "train")
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(0, 255, (batch, 512, 512, 3)), jnp.float32)
     variables = fast_variables(model, x)

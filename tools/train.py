@@ -13,8 +13,16 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def evaluate(cfg, model, state, max_images):
-    """Periodic validation (mmengine val loop + save_best equivalent)."""
+def evaluate(cfg, model, state, max_images, vis_interval=0, vis_dir=None):
+    """Periodic validation (mmengine val loop + save_best equivalent).
+
+    ``vis_interval > 0`` renders every Nth val prediction as a palette
+    overlay into ``vis_dir`` — the train-loop counterpart of the
+    reference's SegVisualizationHook(draw=True, interval=N)
+    (mmseg/engine/hooks/visualization_hook.py), which draws during the
+    periodic val loop; the test-time equivalent is tools/test.py
+    --show-dir.
+    """
     import jax.numpy as jnp
 
     import numpy as np
@@ -43,6 +51,21 @@ def evaluate(cfg, model, state, max_images):
                                 metas[0]["ori_shape"])
         iou = update_iou_np(iou, np.asarray(pred), sem,
                             cfg.model.num_classes)
+        if vis_interval and n % vis_interval == 0:
+            from PIL import Image
+
+            from spike2former_tpu.evaluation.visualize import draw_sem_seg
+
+            os.makedirs(vis_dir, exist_ok=True)
+            palette = (np.asarray(ds.meta.palette, np.uint8)
+                       if ds.meta.palette else None)
+            # overlay at network-input resolution (tools/test.py --show-dir
+            # convention)
+            disp = np.asarray(jnp.argmax(logits, -1)[0], np.int32)
+            img = np.clip(np.asarray(images)[0], 0, 255).astype(np.uint8)
+            overlay = draw_sem_seg(img, disp, palette)
+            Image.fromarray(overlay).save(
+                os.path.join(vis_dir, f"val_{n:05d}.png"))
         n += 1
         if n >= max_images:
             break
@@ -61,6 +84,10 @@ def main():
     ap.add_argument("--log-interval", type=int, default=50)
     ap.add_argument("--eval-images", type=int, default=100,
                     help="val images per periodic eval (0 disables)")
+    ap.add_argument("--vis-interval", type=int, default=0,
+                    help="draw every Nth val prediction during periodic "
+                         "eval into work_dir/vis/iter_N/ (the reference's "
+                         "SegVisualizationHook interval; 0 disables)")
     ap.add_argument("--device", default=None,
                     help="force backend, e.g. cpu (the axon sitecustomize "
                          "pins JAX_PLATFORMS, so env vars alone don't work)")
@@ -232,7 +259,10 @@ def main():
                        keep=cfg.train.max_keep_ckpts or None)
         if (args.eval_images and cfg.train.val_interval and not panoptic
                 and (i + 1) % cfg.train.val_interval == 0):
-            miou = evaluate(cfg, model, state, args.eval_images)
+            miou = evaluate(
+                cfg, model, state, args.eval_images,
+                vis_interval=args.vis_interval,
+                vis_dir=os.path.join(work_dir, "vis", f"iter_{i + 1}"))
             print(f"iter {i+1} val mIoU {miou:.2f} "
                   f"(best {best_miou:.2f})", flush=True)
             slog.log(i + 1, mIoU=miou)
