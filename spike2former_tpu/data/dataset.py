@@ -17,8 +17,14 @@ class SegDataset:
     data_root: str
     split: str = "train"
     with_ann: bool = True
+    # decode each file once and keep the raw (pre-transform) arrays in
+    # RAM — random transforms still vary per epoch.  Worth it on
+    # few-core hosts where jpeg/png decode would out-cost the TPU step
+    # (the synthetic-evidence run trains from a 2.1 GB decoded set).
+    cache: bool = False
 
     def __post_init__(self):
+        self._cache: dict[int, Sample] = {}
         img_dir, ann_dir = self.meta.splits[self.split]
         self.img_dir = os.path.join(self.data_root, img_dir)
         self.ann_dir = os.path.join(self.data_root, ann_dir)
@@ -39,6 +45,10 @@ class SegDataset:
         return len(self.samples)
 
     def load(self, idx: int) -> Sample:
+        if self.cache and idx in self._cache:
+            c = self._cache[idx]
+            return {"image": c["image"], "sem_seg": c["sem_seg"],
+                    "meta": dict(c["meta"])}
         img_path, ann_path = self.samples[idx]
         sample: Sample = {
             "image": load_image(img_path),
@@ -49,6 +59,10 @@ class SegDataset:
                      "ori_shape": None},
         }
         sample["meta"]["ori_shape"] = sample["image"].shape[:2]
+        if self.cache:
+            self._cache[idx] = {"image": sample["image"],
+                                "sem_seg": sample["sem_seg"],
+                                "meta": dict(sample["meta"])}
         return sample
 
 

@@ -24,8 +24,8 @@ tap weights (an out-of-range tap matches no row/column and contributes
 exactly 0 = grid_sample zero padding), then ``out = (Ry @ M) . Cx``.
 Forward and backward are batched MXU contractions; the mask gradient is
 the transpose matmul ``Ry^T @ (dOut * Cx)`` — no scatter anywhere.
-P is chunked (lax.map + checkpoint) so the [N, Pc, W] intermediate
-stays ~100 MB.
+P is chunked (lax.map + checkpoint) with the chunk size derived from a
+byte budget so the [N, Pc, W] intermediate stays bounded at any N.
 
 Shared-coordinate sampling (the matching costs: one point set per image
 for every query/slot) instead gathers [1, Q]-row slices of the
@@ -88,7 +88,8 @@ def _selectors(coords: jax.Array, h: int, w: int):
 
 
 def point_sample(masks: jax.Array, coords: jax.Array, *,
-                 chunk: int = 2048, dtype=None) -> jax.Array:
+                 chunk: int | None = None, budget_bytes: int = 256 << 20,
+                 dtype=None) -> jax.Array:
     """mmcv ``point_sample`` (grid_sample, align_corners=False, zero pad).
 
     masks [..., H, W]; coords [..., P, 2] normalized (x, y) in [0, 1] with
@@ -96,8 +97,12 @@ def point_sample(masks: jax.Array, coords: jax.Array, *,
 
     Computed as separable selector matmuls (module docstring): both the
     forward and the mask gradient are MXU contractions — no gather in the
-    forward, no scatter in the backward.  ``chunk`` bounds the [N, Pc, W]
-    intermediate; chunks run under lax.map + checkpoint.
+    forward, no scatter in the backward.  The point axis is chunked
+    (lax.map + checkpoint) so the [N, Pc, W] selector intermediate stays
+    within ``budget_bytes`` (default 256 MB — at the flagship per-pair
+    loss shape N=B*G=512, W=256, f32 that is Pc=512; a fixed chunk would
+    silently scale peak HBM with N).  ``chunk`` overrides the derived
+    size.
 
     ``dtype`` sets the contraction input dtype (accumulation stays f32).
     bf16 doubles MXU rate and halves the selector-build traffic at ~3
@@ -111,6 +116,12 @@ def point_sample(masks: jax.Array, coords: jax.Array, *,
     m = masks.astype(ct).reshape(-1, h, w)
     n = max(m.shape[0], 1)
     cf = coords.astype(jnp.float32).reshape(n, p, 2)
+    if chunk is None:
+        itemsize = jnp.dtype(ct).itemsize
+        chunk = max(128, budget_bytes // (n * max(h, w) * itemsize))
+        chunk = min(chunk, p)
+        # multiple of 128 keeps every chunk lane-aligned
+        chunk = max(128, (chunk // 128) * 128)
 
     @jax.checkpoint
     def sample(c):

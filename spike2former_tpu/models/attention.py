@@ -64,12 +64,26 @@ class SpikeMHA(nn.Module):
 
     scores = (q k^T) / sqrt(embed_dims)  — note: full embed dim, not head
     dim (transformer.py:262-263); boolean ``attn_mask`` entries are zeroed.
+
+    ``factored``: with no softmax and no mask the attention output is
+    LINEAR in the scores, so ``(q k^T) v == q (k^T v)`` exactly (up to
+    float summation order).  Associating right replaces the
+    [*, nq, nk] score tensor (84 MB per decoder cross-attn layer at the
+    flagship train shape, nk = 128^2) and the N-minor layout copies of
+    the k/v spike outputs (4 x 128 MB measured, round-4 allocation
+    table) with a tiny per-head [c, c] contraction — same math the
+    reference backbone already uses for its linear attention
+    (sdtv2.py:335-336).  Falls back to dense scores whenever
+    ``attn_mask`` is given (masking breaks linearity).  Off in compat
+    mode so converted-checkpoint parity replays the reference's exact
+    summation order.
     """
 
     embed_dims: int
     num_heads: int = 8
     spike: str = "qspike"
     dtype: jnp.dtype = jnp.float32
+    factored: bool = False
 
     @nn.compact
     def __call__(self, query, key, value, attn_mask=None, train: bool = False):
@@ -81,13 +95,23 @@ class SpikeMHA(nn.Module):
             self.embed_dims, self.spike, self.dtype, name="v")(value, train))
 
         qh, kh, vh = (_split_heads(y, self.num_heads) for y in (q, k, v))
-        scores = jnp.einsum("...nc,...mc->...nm", qh, kh,
+        if self.factored and attn_mask is None:
+            kv = jnp.einsum("...mc,...md->...cd", kh, vh,
                             preferred_element_type=jnp.float32)
-        scores = scores / (self.embed_dims ** 0.5)
-        if attn_mask is not None:
-            scores = jnp.where(attn_mask, 0.0, scores)
-        out = jnp.einsum("...nm,...mc->...nc", scores.astype(vh.dtype), vh,
-                         preferred_element_type=jnp.float32).astype(q.dtype)
+            kv = kv / (self.embed_dims ** 0.5)
+            out = jnp.einsum("...nc,...cd->...nd", qh, kv.astype(qh.dtype),
+                             preferred_element_type=jnp.float32
+                             ).astype(q.dtype)
+        else:
+            scores = jnp.einsum("...nc,...mc->...nm", qh, kh,
+                                preferred_element_type=jnp.float32)
+            scores = scores / (self.embed_dims ** 0.5)
+            if attn_mask is not None:
+                scores = jnp.where(attn_mask, 0.0, scores)
+            out = jnp.einsum("...nm,...mc->...nc", scores.astype(vh.dtype),
+                             vh,
+                             preferred_element_type=jnp.float32
+                             ).astype(q.dtype)
         out = _merge_heads(out)
 
         outf, t = fold_t(out)

@@ -39,8 +39,12 @@ class DetrDecoderLayer(nn.Module):
         (broadcast over T)."""
 
         def cross(q):
+            # factored (right-associated) attention kills the [nq, nk]
+            # score tensor over the big pixel-token levels; compat mode
+            # keeps the reference's dense summation order (see SpikeMHA).
             return q + SpikeMHA(
                 self.embed_dims, self.num_heads, self.spike, self.dtype,
+                factored=not self.compat,
                 name="cross_attn")(
                 q + query_pos, key + key_pos, value,
                 attn_mask=cross_attn_mask, train=train)

@@ -890,3 +890,46 @@ def test_cycle_mlp_block_shapes():
     out = blk.apply(vars_, x)
     assert out.shape == x.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_spike_mha_factored_equals_dense():
+    """factored=True (right-associated q(k^T v), the TPU train path for
+    decoder cross-attn) must match the dense-score path: with no softmax
+    and no mask the attention output is linear in the scores, and the
+    spike-quantized q/k/v make both summation orders exactly
+    representable at these shapes."""
+    dim, heads = 32, 4
+    qx = RNG.normal(0, 2, (2, 2, 5, dim)).astype(np.float32)
+    kx = RNG.normal(0, 2, (2, 2, 37, dim)).astype(np.float32)
+    dense = SpikeMHA(dim, heads)
+    fact = SpikeMHA(dim, heads, factored=True)
+    vars_ = randomize_variables(
+        dense.init(jax.random.PRNGKey(0), qx, kx, kx))
+    a = np.asarray(dense.apply(vars_, qx, kx, kx))
+    b = np.asarray(fact.apply(vars_, qx, kx, kx))
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+    # gradients agree too (the backward is the transposed association)
+    def loss(mod):
+        def f(v):
+            out = mod.apply({**vars_, "params": v},
+                            jnp.asarray(qx), jnp.asarray(kx),
+                            jnp.asarray(kx))
+            return jnp.sum(out ** 2)
+        return jax.grad(f)(vars_["params"])
+
+    ga, gb = loss(dense), loss(fact)
+    ga = {jax.tree_util.keystr(k): v
+          for k, v in jax.tree_util.tree_leaves_with_path(ga)}
+    gb = {jax.tree_util.keystr(k): v
+          for k, v in jax.tree_util.tree_leaves_with_path(gb)}
+    assert set(ga) == set(gb)
+    for k in ga:
+        np.testing.assert_allclose(np.asarray(ga[k]), np.asarray(gb[k]),
+                                   atol=1e-4, rtol=1e-4, err_msg=k)
+
+    # masked attention must fall back to the dense path (linearity breaks)
+    mask = RNG.random((2, 2, heads, 5, 37)) > 0.7
+    am = np.asarray(dense.apply(vars_, qx, kx, kx, attn_mask=mask))
+    bm = np.asarray(fact.apply(vars_, qx, kx, kx, attn_mask=mask))
+    np.testing.assert_allclose(am, bm, atol=1e-6, rtol=1e-6)
