@@ -58,6 +58,9 @@ class DataConfig:
     # MultiImageMixDataset-style mosaic mixing probability (0 = off; the
     # reference's RandomMosaic configs use 0.5) — data/loader.py
     mosaic_prob: float = 0.0
+    # decode-once RAM cache of the raw dataset (SegDataset.cache) — for
+    # few-core hosts where image decode out-costs the TPU step
+    cache: bool = False
 
 
 @dataclass

@@ -74,9 +74,13 @@ class SpikeMHA(nn.Module):
     table) with a tiny per-head [c, c] contraction — same math the
     reference backbone already uses for its linear attention
     (sdtv2.py:335-336).  Falls back to dense scores whenever
-    ``attn_mask`` is given (masking breaks linearity).  Off in compat
-    mode so converted-checkpoint parity replays the reference's exact
-    summation order.
+    ``attn_mask`` is given (masking breaks linearity) or the key count
+    is under ``factored_min_kv`` — small attentions gain nothing, and
+    the dense form keeps the legacy summation order that short
+    toy-convergence tests were tuned against (the quantized net is
+    chaotic: ulp-level reordering re-rolls a 450-iter toy run).  Off in
+    compat mode so converted-checkpoint parity replays the reference's
+    exact summation order.
     """
 
     embed_dims: int
@@ -84,6 +88,7 @@ class SpikeMHA(nn.Module):
     spike: str = "qspike"
     dtype: jnp.dtype = jnp.float32
     factored: bool = False
+    factored_min_kv: int = 1024
 
     @nn.compact
     def __call__(self, query, key, value, attn_mask=None, train: bool = False):
@@ -95,7 +100,8 @@ class SpikeMHA(nn.Module):
             self.embed_dims, self.spike, self.dtype, name="v")(value, train))
 
         qh, kh, vh = (_split_heads(y, self.num_heads) for y in (q, k, v))
-        if self.factored and attn_mask is None:
+        if (self.factored and attn_mask is None
+                and key.shape[-2] >= self.factored_min_kv):
             kv = jnp.einsum("...mc,...md->...cd", kh, vh,
                             preferred_element_type=jnp.float32)
             kv = kv / (self.embed_dims ** 0.5)

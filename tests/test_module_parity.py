@@ -902,7 +902,7 @@ def test_spike_mha_factored_equals_dense():
     qx = RNG.normal(0, 2, (2, 2, 5, dim)).astype(np.float32)
     kx = RNG.normal(0, 2, (2, 2, 37, dim)).astype(np.float32)
     dense = SpikeMHA(dim, heads)
-    fact = SpikeMHA(dim, heads, factored=True)
+    fact = SpikeMHA(dim, heads, factored=True, factored_min_kv=1)
     vars_ = randomize_variables(
         dense.init(jax.random.PRNGKey(0), qx, kx, kx))
     a = np.asarray(dense.apply(vars_, qx, kx, kx))

@@ -152,7 +152,8 @@ def main():
             ds, local_bs, cfg.data.crop_size, cfg.train.max_gt,
             seed=cfg.train.seed + pid)
     else:
-        ds = make_dataset(cfg.data.dataset, cfg.data.data_root, "train")
+        ds = make_dataset(cfg.data.dataset, cfg.data.data_root, "train",
+                          cache=cfg.data.cache)
         loader = TrainLoader(ds, local_bs, cfg.data.crop_size,
                              seed=cfg.train.seed,
                              num_workers=cfg.data.num_workers,
