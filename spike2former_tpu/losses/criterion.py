@@ -150,16 +150,19 @@ def semantic_to_instances(sem_seg: jax.Array, num_classes: int,
     sel = sel.astype(jnp.int32)
     valid = jnp.take_along_axis(present, sel, axis=1)
 
-    # inverse table class -> slot (k = no slot); rows: 0..K-1 real classes,
-    # row K collects the ignore label (and absent classes stay at k)
-    col = jnp.where(valid, sel, num_classes + 1)  # invalid -> dropped
-    slot_of_class = jnp.full((b, num_classes + 1), k, jnp.int32).at[
-        jnp.arange(b)[:, None], col
-    ].set(jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None], (b, k)),
-          mode="drop")
-    sem_c = jnp.minimum(sem_seg.astype(jnp.int32), num_classes)
-    slot_map = jnp.take_along_axis(
-        slot_of_class, sem_c.reshape(b, -1), axis=1).reshape(b, h, w)
+    # pixel -> slot WITHOUT a per-pixel table gather (a [B, H*W]
+    # take_along_axis into the per-image class->slot table measured
+    # 43 ms/iter at B=16 — the ~100M scalar-gathers/s TPU ceiling).
+    # Selected slot labels are distinct per image, so at most one slot
+    # matches a pixel's class: the slot index is a compare-weighted SUM
+    # over the k slots — one fused VPU reduction, no gather.  Ignore
+    # (255) and dropped classes match no valid slot -> background k.
+    sem_c = sem_seg.astype(jnp.int32)[:, None]          # [B, 1, H, W]
+    lab = jnp.where(valid, sel, -1)[:, :, None, None]   # [B, k, 1, 1]
+    hitk = sem_c == lab                                  # [B, k, H, W]
+    slot_rev = jnp.arange(k, 0, -1, dtype=jnp.int32)    # k - slot
+    slot_map = k - jnp.max(
+        hitk * slot_rev[None, :, None, None], axis=1)
 
     n_present = jnp.sum(present, axis=1, dtype=jnp.int32)
     n_kept = jnp.sum(valid, axis=1, dtype=jnp.int32)

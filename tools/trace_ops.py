@@ -79,6 +79,7 @@ def main():
     batch = int(os.environ.get("B", 4))
     T = int(os.environ.get("T", 4))
     mode = os.environ.get("MODE", "grad")
+    loss_points = int(os.environ.get("LOSS_POINTS", 0))
     trace_dir = os.environ.get("TRACE_DIR", "/tmp/jax_trace")
 
     # lazy_masks matches the shipped train program (ModelConfig default);
@@ -92,12 +93,19 @@ def main():
     stats = variables.get("batch_stats", {})
 
     if mode == "train":
-        sem = jnp.asarray(
-            rng.integers(0, 150, (batch, 512, 512)), jnp.int32)
+        # realistic blocky GT (~16 distinct classes per crop), same as
+        # tools/benchmark.py — uniform-random pixel labels would claim all
+        # 150 classes present and trace the compact_gt OVERFLOW branch
+        # (G=64 worst case) instead of the program the benchmarks measure
+        table = rng.choice(150, size=16, replace=False)
+        blocks = table[rng.integers(0, 16, (batch, 32, 32))]
+        sem = jnp.asarray(np.repeat(np.repeat(
+            blocks, 512 // 32, axis=1), 512 // 32, axis=2), jnp.int32)
         tx = make_optimizer(params)
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                            batch_stats=stats, opt_state=tx.init(params))
-        step = jax.jit(make_train_step(model, tx, num_classes=150))
+        step = jax.jit(make_train_step(model, tx, num_classes=150,
+                                       num_points=loss_points))
 
         def run():
             return step(state, x, sem)[1]["total"]
