@@ -69,6 +69,17 @@ class LazyMasks(NamedTuple):
             "tbqc,tbhwc->bqhw", embeds_l, self.feats,
             preferred_element_type=jnp.float32) / t
 
+    def layer_flat(self, embeds_l: jax.Array) -> jax.Array:
+        """[B, nq, h*w] f32 logits for one layer — flat pixel axis for the
+        matching-cost contractions.  Producing [B, nq, h, w] and reshaping
+        forced two ~26 ms layout copies per step at B=16 (trace round 5:
+        copy.5275 + reshape.17878); the [T,B,h,w,C] -> [T,B,hw,C] reshape
+        here is free (adjacent row-major dims)."""
+        t, b, h, w, c = self.feats.shape
+        return jnp.einsum(
+            "tbqc,tbpc->bqp", embeds_l, self.feats.reshape(t, b, h * w, c),
+            preferred_element_type=jnp.float32) / t
+
     def layer_slots(self, embeds_l: jax.Array, q_idx: jax.Array
                     ) -> jax.Array:
         """Dense [B, G, h, w] f32 logits for the ``q_idx`` [B, G] queries
@@ -198,18 +209,21 @@ def classification_targets(matched_q: jax.Array, gt_labels: jax.Array,
     ].set(gt_labels.astype(jnp.int32), mode="drop")
 
 
-def _focal_terms(pred: jax.Array, target: jax.Array,
-                 gamma: float = 2.0, alpha: float = 0.25) -> jax.Array:
-    """Per-pixel sigmoid focal loss (losses.sigmoid_focal_loss body,
-    py_sigmoid_focal_loss focal_loss.py:12-60) — pred f32 logits,
-    target f32 {0,1}."""
-    p = jax.nn.sigmoid(pred)
-    pt = (1.0 - p) * target + p * (1.0 - target)
-    focal_w = (alpha * target
-               + (1.0 - alpha) * (1.0 - target)) * pt ** gamma
-    bce = (jnp.maximum(pred, 0) - pred * target
-           + jnp.log1p(jnp.exp(-jnp.abs(pred))))
-    return bce * focal_w
+def _phase_terms(ph: jax.Array, tf: jax.Array,
+                 gamma: float = 2.0, alpha: float = 0.25) -> tuple:
+    """Per-pixel sigmoid + focal terms with ONE shared ``exp(-|x|)``
+    (losses.focal_terms semantics, py_sigmoid_focal_loss
+    focal_loss.py:12-60).  The phase-loss block streams [B, G, 256, 256]
+    f32 tensors 4 phases x 7 layers deep, so transcendental count per
+    element is the cost: this form needs exp + log1p where the naive
+    sigmoid-then-BCE form needs three."""
+    e = jnp.exp(-jnp.abs(ph))
+    p = jnp.where(ph >= 0, 1.0 / (1.0 + e), e / (1.0 + e))
+    pt = (1.0 - p) * tf + p * (1.0 - tf)
+    ptg = pt * pt if gamma == 2.0 else pt ** gamma
+    focal_w = (alpha * tf + (1.0 - alpha) * (1.0 - tf)) * ptg
+    bce = jnp.maximum(ph, 0) - ph * tf + jnp.log1p(e)
+    return p, bce * focal_w
 
 
 def _gt_phase_losses(pred_s: jax.Array, slot_map: jax.Array,
@@ -280,11 +294,11 @@ def _gt_phase_losses(pred_s: jax.Array, slot_map: jax.Array,
             t = (slot_map[:, ar::sy, ac::sx][:, None]
                  == slots[None, :, None, None])
             tf = t.astype(jnp.float32)
-            p = jax.nn.sigmoid(ph)
+            p, fterm = _phase_terms(ph, tf)
             a = a + jnp.sum(p * tf, axis=(2, 3))
             sp = sp + jnp.sum(p, axis=(2, 3))
             st = st + jnp.sum(tf, axis=(2, 3))
-            focal = focal + jnp.sum(_focal_terms(ph, tf), axis=(2, 3))
+            focal = focal + jnp.sum(fterm, axis=(2, 3))
 
     eps = 1.0
     d = 1.0 - (2 * a + eps) / (sp + st + eps)
@@ -600,7 +614,9 @@ def maskformer_loss(
         def cost_body(_, cm):
             cls_l, mask_l = cm
             if lazy:
-                mask_l = all_mask_preds.layer(mask_l)  # embeds -> dense
+                # flat [B, nq, hw]: the cost terms reshape to a flat pixel
+                # axis anyway, so never materialize the [B, nq, h, w] form
+                mask_l = all_mask_preds.layer_flat(mask_l)
             c = cost_fn(cls_l, mask_l, gt.labels, gt_cost, gt.valid)
             return None, jax.lax.stop_gradient(c)
 

@@ -28,6 +28,25 @@ def weighted_cross_entropy(
     return jnp.sum(nll * w) / avg
 
 
+def focal_terms(pred: jax.Array, target: jax.Array,
+                gamma: float = 2.0, alpha: float = 0.25) -> jax.Array:
+    """Per-element sigmoid focal loss terms (py_sigmoid_focal_loss body,
+    focal_loss.py:12-60): pred f32 logits, target f32 {0,1}.
+
+    One transcendental pair per element: ``exp(-|x|)`` is shared between
+    the sigmoid and the stable BCE ``log1p`` — at the flagship loss shapes
+    these terms stream [B, G, 512, 512]-scale tensors (4 phase grids x 7
+    decoder layers), so the elementwise op count is the cost.
+    """
+    e = jnp.exp(-jnp.abs(pred))
+    p = jnp.where(pred >= 0, 1.0 / (1.0 + e), e / (1.0 + e))
+    pt = (1.0 - p) * target + p * (1.0 - target)
+    ptg = pt * pt if gamma == 2.0 else pt ** gamma
+    focal_w = (alpha * target + (1.0 - alpha) * (1.0 - target)) * ptg
+    bce = jnp.maximum(pred, 0) - pred * target + jnp.log1p(e)
+    return bce * focal_w
+
+
 def sigmoid_focal_loss(
     pred: jax.Array,     # logits, any shape
     target: jax.Array,   # same shape, {0,1}
@@ -37,13 +56,8 @@ def sigmoid_focal_loss(
     avg_factor: jax.Array | float | None = None,
 ) -> jax.Array:
     """py_sigmoid_focal_loss (focal_loss.py:12-60)."""
-    pred = pred.astype(jnp.float32)
-    target = target.astype(jnp.float32)
-    p = jax.nn.sigmoid(pred)
-    pt = (1.0 - p) * target + p * (1.0 - target)
-    focal_w = (alpha * target + (1.0 - alpha) * (1.0 - target)) * pt ** gamma
-    bce = jnp.maximum(pred, 0) - pred * target + jnp.log1p(jnp.exp(-jnp.abs(pred)))
-    loss = bce * focal_w
+    loss = focal_terms(pred.astype(jnp.float32), target.astype(jnp.float32),
+                       gamma=gamma, alpha=alpha)
     if weight is not None:
         loss = loss * weight
     if avg_factor is None:

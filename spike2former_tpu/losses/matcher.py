@@ -34,6 +34,39 @@ def classification_cost(cls_logits: jax.Array, gt_labels: jax.Array
     return -probs[:, jnp.maximum(gt_labels, 0)]
 
 
+def _mask_cost_terms(mask_pred: jax.Array, alpha: float = 0.25,
+                     gamma: float = 2.0, eps: float = 1e-12):
+    """(p, pos, neg) per-pixel cost terms from ONE exp/log1p pair.
+
+    The cost scan streams [B, nq, h*w]-scale tensors 7 layers deep, so the
+    per-element transcendental count is the step cost.  The naive form
+    (sigmoid twice, log, log1p, two float pows) is 6+ transcendental-class
+    VPU ops; via ``e = exp(-|x|)`` the sigmoid and both stable log-sigmoids
+    share one exp + one log1p:
+
+      log p       = min(x, 0) - log1p(e)      (= -softplus(-x))
+      log (1 - p) = min(-x, 0) - log1p(e)     (= -softplus(x))
+
+    The reference's ``log(p + eps)`` saturates at log(eps) for p -> 0
+    (match_cost.py: eps only guards -inf); the softplus identity is exact
+    there, clamped at the same floor.  gamma == 2 uses a multiply, not pow.
+    """
+    nq = mask_pred.shape[0]
+    x = mask_pred.astype(jnp.float32).reshape(nq, -1)
+    e = jnp.exp(-jnp.abs(x))
+    l1p = jnp.log1p(e)
+    p = jnp.where(x >= 0, 1.0 / (1.0 + e), e / (1.0 + e))
+    floor = float(np.log(eps))
+    nlogp = jnp.minimum(l1p - jnp.minimum(x, 0), -floor)
+    nlog1mp = jnp.minimum(l1p - jnp.minimum(-x, 0), -floor)
+    q = 1.0 - p
+    pg = p * p if gamma == 2.0 else p ** gamma
+    qg = q * q if gamma == 2.0 else q ** gamma
+    pos = nlogp * (alpha * qg)
+    neg = nlog1mp * ((1.0 - alpha) * pg)
+    return p, pos, neg
+
+
 def focal_mask_cost(mask_pred: jax.Array, gt_masks: jax.Array,
                     alpha: float = 0.25, gamma: float = 2.0,
                     eps: float = 1e-12) -> jax.Array:
@@ -41,17 +74,14 @@ def focal_mask_cost(mask_pred: jax.Array, gt_masks: jax.Array,
 
     mask_pred: [nq, H, W] logits; gt_masks: [G, H, W] {0,1} -> [nq, G].
     """
-    nq = mask_pred.shape[0]
-    p = jax.nn.sigmoid(mask_pred.astype(jnp.float32).reshape(nq, -1))
+    _, pos, neg = _mask_cost_terms(mask_pred, alpha, gamma, eps)
     # contraction in the prediction dtype (bf16 under the flagship recipe)
     # with f32 accumulation — cost matrices only rank candidate pairs, and
     # the assignment backends tolerate far larger perturbations than the
     # ~1e-3 relative rounding this introduces
     ct = mask_pred.dtype
     g = gt_masks.astype(ct).reshape(gt_masks.shape[0], -1)
-    n = p.shape[1]
-    neg = -jnp.log1p(-p + eps) * (1 - alpha) * p ** gamma
-    pos = -jnp.log(p + eps) * alpha * (1 - p) ** gamma
+    n = pos.shape[1]
     return (jnp.dot(pos.astype(ct), g.T, preferred_element_type=jnp.float32)
             + jnp.dot(neg.astype(ct), (1 - g).T,
                       preferred_element_type=jnp.float32)) / n
@@ -74,10 +104,27 @@ def dice_mask_cost(mask_pred: jax.Array, gt_masks: jax.Array,
 def match_costs(cls_logits, mask_pred, gt_labels, gt_masks, gt_valid,
                 cls_weight: float = 1.0, focal_weight: float = 20.0,
                 dice_weight: float = 1.0) -> jax.Array:
-    """Weighted cost matrix [nq, G]; invalid GT columns set to BIG_COST."""
+    """Weighted cost matrix [nq, G]; invalid GT columns set to BIG_COST.
+
+    The focal and dice mask costs are computed from one shared
+    ``_mask_cost_terms`` pass (one sigmoid, not two) and share the
+    ``g`` / ``1 - g`` contractions' operand staging.
+    """
+    p, pos, neg = _mask_cost_terms(mask_pred)
+    ct = mask_pred.dtype
+    g = gt_masks.astype(ct).reshape(gt_masks.shape[0], -1)
+    n = p.shape[1]
+    focal = (jnp.dot(pos.astype(ct), g.T,
+                     preferred_element_type=jnp.float32)
+             + jnp.dot(neg.astype(ct), (1 - g).T,
+                       preferred_element_type=jnp.float32)) / n
+    num = 2 * jnp.dot(p.astype(ct), g.T, preferred_element_type=jnp.float32)
+    den = (jnp.sum(p, 1)[:, None]
+           + jnp.sum(g, 1, dtype=jnp.float32)[None, :])
+    dice = 1.0 - (num + 1.0) / (den + 1.0)
     cost = (cls_weight * classification_cost(cls_logits, gt_labels)
-            + focal_weight * focal_mask_cost(mask_pred, gt_masks)
-            + dice_weight * dice_mask_cost(mask_pred, gt_masks))
+            + focal_weight * focal
+            + dice_weight * dice)
     return jnp.where(gt_valid[None, :], cost, BIG_COST)
 
 
