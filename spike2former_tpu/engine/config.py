@@ -100,6 +100,11 @@ class TrainConfig:
     loss_points: int = 0
     loss_points_oversample: float = 3.0
     loss_points_importance: float = 0.75
+    # Fully unroll the per-decoder-layer loss/cost scans (criterion
+    # maskformer_loss): removes the TPU while-loop tuple plumbing that
+    # carries the LazyMasks feats through every layer iteration, at the
+    # price of L=7 copies of the loss body in the compiled program.
+    unroll_loss: bool = False
     # Save Spike→Conv activations for backward as packed 4-bit codes
     # instead of bf16/f32 (ops/spike_op.py — the reference spike_op.py's
     # compact spike caching).  Bit-identical gradients; cuts BPTT

@@ -465,6 +465,7 @@ def maskformer_loss(
     oversample_ratio: float = 3.0,
     importance_sample_ratio: float = 0.75,
     rng: jax.Array | None = None,
+    unroll: bool = False,
 ) -> dict[str, jax.Array]:
     """Deep-supervised loss over all decoder layers (loss_by_feat :367-408).
 
@@ -490,6 +491,15 @@ def maskformer_loss(
     point-sampled Mask2Former recipe (see ``_layer_loss`` and
     losses/point_sample.py; upstream K = 12544, oversample 3.0,
     importance 0.75) — requires ``rng``.
+
+    ``unroll`` fully unrolls the two layer scans (costs + losses) into
+    straight-line HLO.  The scans compile the body once, but on TPU the
+    while loops carry the LazyMasks feats (bf16 536 MB at the flagship
+    B=16) and the GT slot map through the loop tuple — the round-5 train
+    trace attributes ~half the loss block to while/cond tuple plumbing
+    rather than loss math.  Unrolled, those become hoisted constants.
+    Trade-off is compile time (L=7 copies of the loss body), so it's a
+    knob (train.unroll_loss) rather than unconditional.
     """
     if loss_at not in ("pred", "gt"):
         raise ValueError(f"loss_at must be 'pred' or 'gt', got {loss_at!r}")
@@ -513,7 +523,8 @@ def maskformer_loss(
                   focal_weight=focal_weight, dice_weight=dice_weight,
                   matcher=matcher, loss_at=loss_at,
                   num_points=num_points, oversample_ratio=oversample_ratio,
-                  importance_sample_ratio=importance_sample_ratio, rng=rng)
+                  importance_sample_ratio=importance_sample_ratio, rng=rng,
+                  unroll=unroll)
 
         # prefix-valid ordering makes "any valid slot beyond gc" the exact
         # overflow predicate even for producers that don't sort (panoptic
@@ -609,7 +620,7 @@ def maskformer_loss(
             cost_body, None,
             (all_cls_scores,
              all_mask_preds.embeds if lazy else all_mask_preds,
-             match_keys))  # [L, B, nq, G]
+             match_keys), unroll=unroll)  # [L, B, nq, G]
     else:
         def cost_body(_, cm):
             cls_l, mask_l = cm
@@ -624,7 +635,7 @@ def maskformer_loss(
             cost_body, None,
             (all_cls_scores,
              all_mask_preds.embeds if lazy
-             else all_mask_preds))  # [L, B, nq, G]
+             else all_mask_preds), unroll=unroll)  # [L, B, nq, G]
     costs = costs.reshape(num_layers * b, -1, g)
     if matcher == "host":
         all_matched = hungarian_host(costs)  # one host round-trip, not L
@@ -665,7 +676,8 @@ def maskformer_loss(
 
         _, stacked = jax.lax.scan(
             body, None,
-            (all_cls_scores, mask_xs, all_matched, loss_keys))
+            (all_cls_scores, mask_xs, all_matched, loss_keys),
+            unroll=unroll)
     else:
         def body(_, inputs):
             cls_l, mask_l, matched_l = inputs
@@ -673,7 +685,8 @@ def maskformer_loss(
             return None, li
 
         _, stacked = jax.lax.scan(
-            body, None, (all_cls_scores, mask_xs, all_matched))
+            body, None, (all_cls_scores, mask_xs, all_matched),
+            unroll=unroll)
 
     losses: dict[str, jax.Array] = {}
     for k in ("loss_cls", "loss_mask", "loss_dice"):

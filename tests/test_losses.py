@@ -433,3 +433,33 @@ def test_auction_vs_hungarian_assignment_agreement():
                       - c[i, :, :10].T[r, cols].sum())
             assert excess <= 10 * 0.02 + 1e-5
     assert agree / total >= 0.98, agree / total
+
+
+def test_unroll_matches_scan():
+    """maskformer_loss(unroll=True) is the same math as the scan form —
+    including gradients — for both dense and LazyMasks inputs (with
+    compact_gt exercising the lax.cond wrapper)."""
+    from spike2former_tpu.losses.criterion import LazyMasks
+
+    rng = np.random.default_rng(3)
+    B, L, nq, C, h, w = 2, 3, 6, 8, 8, 8
+    sem = jnp.asarray(rng.integers(0, 4, (B, 16, 16)), jnp.int32)
+    gt = semantic_to_instances(sem, num_classes=4, max_gt=6)
+    cls = jnp.asarray(rng.standard_normal((L, B, nq, 5)), jnp.float32)
+    feats = jnp.asarray(rng.standard_normal((1, B, h, w, C)), jnp.float32)
+    embeds = jnp.asarray(rng.standard_normal((L, 1, B, nq, C)), jnp.float32)
+
+    def loss(embeds, feats, unroll):
+        return maskformer_loss(
+            cls, LazyMasks(embeds, feats), gt, num_classes=4,
+            matcher="auction", loss_at="gt", compact_gt=4,
+            unroll=unroll)["total"]
+
+    vg = jax.value_and_grad(loss, argnums=(0, 1))
+    v0, g0 = jax.jit(lambda e, f: vg(e, f, False))(embeds, feats)
+    v1, g1 = jax.jit(lambda e, f: vg(e, f, True))(embeds, feats)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

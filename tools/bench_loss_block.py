@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--compact-gt", type=int, default=32)
     ap.add_argument("--loss-at", default="gt")
     ap.add_argument("--num-points", type=int, default=0)
+    ap.add_argument("--unroll", action="store_true",
+                    help="fully unroll the per-layer loss/cost scans")
     ap.add_argument("--mask-hw", type=int, default=256)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--device", default=None)
@@ -75,7 +77,8 @@ def main():
             num_classes=args.classes, matcher="auction",
             loss_at=args.loss_at, compact_gt=args.compact_gt,
             num_points=args.num_points,
-            rng=key if args.num_points else None)
+            rng=key if args.num_points else None,
+            unroll=args.unroll)
         return out["total"]
 
     step = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1, 2)))
@@ -92,7 +95,8 @@ def main():
     dt = (time.time() - t0) / args.iters * 1000
     print(f"loss block fwd+bwd: {dt:.1f} ms/iter "
           f"(B={b} L={L} G<= {args.compact_gt}/{args.max_gt} "
-          f"mask {h}x{w} loss_at={args.loss_at} points={args.num_points})")
+          f"mask {h}x{w} loss_at={args.loss_at} points={args.num_points} "
+          f"unroll={args.unroll})")
 
     if args.trace:
         from trace_ops import top_ops

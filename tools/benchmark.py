@@ -95,7 +95,8 @@ def main():
             num_points=cfg.train.loss_points,
             oversample_ratio=cfg.train.loss_points_oversample,
             importance_sample_ratio=cfg.train.loss_points_importance,
-            seed=cfg.train.seed))
+            seed=cfg.train.seed,
+            unroll_loss=cfg.train.unroll_loss))
 
         def run(st):
             st, metrics = step(st, x, sem)
@@ -130,7 +131,8 @@ def main():
                     num_points=cfg.train.loss_points,
                     oversample_ratio=cfg.train.loss_points_oversample,
                     importance_sample_ratio=cfg.train.loss_points_importance,
-                    seed=cfg.train.seed))
+                    seed=cfg.train.seed,
+            unroll_loss=cfg.train.unroll_loss))
                 costs = cost_analysis(
                     lambda s, i, g: step1(s, i, g), state,
                     x[:args.batch_size], sem[:args.batch_size])

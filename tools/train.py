@@ -211,7 +211,8 @@ def main():
             num_points=cfg.train.loss_points,
             oversample_ratio=cfg.train.loss_points_oversample,
             importance_sample_ratio=cfg.train.loss_points_importance,
-            seed=cfg.train.seed),
+            seed=cfg.train.seed,
+            unroll_loss=cfg.train.unroll_loss),
             donate_argnums=0)
     else:
         step_fn = jax.jit(make_train_step(
@@ -222,7 +223,8 @@ def main():
             num_points=cfg.train.loss_points,
             oversample_ratio=cfg.train.loss_points_oversample,
             importance_sample_ratio=cfg.train.loss_points_importance,
-            seed=cfg.train.seed),
+            seed=cfg.train.seed,
+            unroll_loss=cfg.train.unroll_loss),
             donate_argnums=0)
 
     from spike2former_tpu.engine.logging import ScalarLogger
