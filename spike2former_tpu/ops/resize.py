@@ -129,6 +129,19 @@ def resize_nearest_torch(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     """
     *lead, h, w, c = x.shape
     oh, ow = out_hw
+    if h % oh == 0 and w % ow == 0:
+        # integer downscale: src = floor(dst*(h/oh)) = dst*f exactly — a
+        # strided slice, not a gather.  The gather form below measured
+        # ~12 ms per execution on the s32[16,512,512] train slot map
+        # (TPU lowers computed-index gathers to a [hw, B] scalar-gather
+        # with 16-wide lanes); the slice fuses into consumers for free.
+        return x[..., ::h // oh, ::w // ow, :]
+    if oh % h == 0 and ow % w == 0:
+        # integer upscale: src = dst // f — pixel repetition, gather-free
+        fy, fx = oh // h, ow // w
+        x = jnp.broadcast_to(x[..., :, None, :, None, :],
+                             (*lead, h, fy, w, fx, c))
+        return x.reshape(*lead, oh, ow, c)
     ys = jnp.floor(jnp.arange(oh, dtype=jnp.float32) * (h / oh)).astype(jnp.int32)
     xs = jnp.floor(jnp.arange(ow, dtype=jnp.float32) * (w / ow)).astype(jnp.int32)
     ys = jnp.minimum(ys, h - 1)
