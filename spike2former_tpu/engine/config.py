@@ -100,6 +100,10 @@ class TrainConfig:
     loss_points: int = 0
     loss_points_oversample: float = 3.0
     loss_points_importance: float = 0.75
+    # Contraction dtype of the gradient-carrying point sampler (the
+    # dominant MXU cost of the point path).  'float32' = mmcv-exact
+    # bilinear; 'bfloat16' = the measured-speed knob for bf16 models.
+    loss_points_dtype: str = "float32"
     # Fully unroll the per-decoder-layer loss/cost scans (criterion
     # maskformer_loss): removes the TPU while-loop tuple plumbing that
     # carries the LazyMasks feats through every layer iteration, at the

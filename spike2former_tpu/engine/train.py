@@ -45,7 +45,8 @@ def make_train_step(model: Spike2Former, tx: optax.GradientTransformation,
                     matcher: str = "auction", loss_at: str = "gt",
                     accum_steps: int = 1, compact_gt: int = 32,
                     num_points: int = 0, oversample_ratio: float = 3.0,
-                    importance_sample_ratio: float = 0.75, seed: int = 0,
+                    importance_sample_ratio: float = 0.75,
+                    points_dtype: str = "float32", seed: int = 0,
                     unroll_loss: bool = False):
     """Returns ``train_step(state, images_u8, sem_seg) -> (state, metrics)``.
 
@@ -75,7 +76,8 @@ def make_train_step(model: Spike2Former, tx: optax.GradientTransformation,
             matcher=matcher, loss_at=loss_at,
             compact_gt=compact_gt or None,
             num_points=num_points, oversample_ratio=oversample_ratio,
-            importance_sample_ratio=importance_sample_ratio, rng=rng,
+            importance_sample_ratio=importance_sample_ratio,
+            points_dtype=jnp.dtype(points_dtype), rng=rng,
             unroll=unroll_loss)
         losses["dropped_gt"] = gt.dropped.sum().astype(jnp.float32)
         return losses["total"], (losses, updates["batch_stats"])
@@ -182,6 +184,7 @@ def make_train_step_panoptic(model: Spike2Former,
                              num_points: int = 0,
                              oversample_ratio: float = 3.0,
                              importance_sample_ratio: float = 0.75,
+                             points_dtype: str = "float32",
                              seed: int = 0, unroll_loss: bool = False):
     """Panoptic training step: GT arrives as padded instance targets
     (labels [B, G], masks [B, G, H, W], valid [B, G]) built by
@@ -205,7 +208,8 @@ def make_train_step_panoptic(model: Spike2Former,
             matcher=matcher, loss_at=loss_at,
             compact_gt=compact_gt or None,
             num_points=num_points, oversample_ratio=oversample_ratio,
-            importance_sample_ratio=importance_sample_ratio, rng=rng,
+            importance_sample_ratio=importance_sample_ratio,
+            points_dtype=jnp.dtype(points_dtype), rng=rng,
             unroll=unroll_loss)
         return losses["total"], (losses, updates["batch_stats"])
 

@@ -374,16 +374,20 @@ def _layer_loss(cls_scores, mask_preds, matched_q, gt: GroundTruth,
     pair_w = (gt.valid & (matched_q >= 0)).astype(jnp.float32)  # [B, G]
 
     if point_cfg is not None:
-        n_pts, osr, imp = point_cfg
+        n_pts, osr, imp, pdt = point_cfg
         # coords under no_grad (reference :409-414), per matched pair.
         # Stop-gradient samplers run their one-hot contractions in bf16
         # (uncertainty only ranks candidates; GT {0,1} targets get <=0.4%
         # lerp-weight rounding on boundary points) — the gradient-carrying
-        # pred sampling below stays f32.
+        # pred sampling runs in ``pdt`` (train.loss_points_dtype): f32
+        # default = mmcv-exact bilinear; bf16 is the measured-speed knob
+        # for bf16 models (whose logits carry bf16 information anyway —
+        # the one-hot selector matmuls are the point path's dominant
+        # MXU cost, ~0.84 TFLOP/layer f32 fwd + same again bwd).
         coords = uncertain_point_coords(
             rng, jax.lax.stop_gradient(pred_at_gt.astype(jnp.float32)),
             n_pts, osr, imp, dtype=jnp.bfloat16)  # [B, G, P, 2]
-        pred_pts = point_sample(pred_at_gt, coords)  # [B, G, P]
+        pred_pts = point_sample(pred_at_gt, coords, dtype=pdt)  # [B, G, P]
         if gt.masks is None:
             tgt_pts = point_sample_slot(gt.slot_map, g, coords,
                                         dtype=jnp.bfloat16)
@@ -464,6 +468,7 @@ def maskformer_loss(
     num_points: int = 0,
     oversample_ratio: float = 3.0,
     importance_sample_ratio: float = 0.75,
+    points_dtype=jnp.float32,
     rng: jax.Array | None = None,
     unroll: bool = False,
 ) -> dict[str, jax.Array]:
@@ -523,8 +528,8 @@ def maskformer_loss(
                   focal_weight=focal_weight, dice_weight=dice_weight,
                   matcher=matcher, loss_at=loss_at,
                   num_points=num_points, oversample_ratio=oversample_ratio,
-                  importance_sample_ratio=importance_sample_ratio, rng=rng,
-                  unroll=unroll)
+                  importance_sample_ratio=importance_sample_ratio,
+                  points_dtype=points_dtype, rng=rng, unroll=unroll)
 
         # prefix-valid ordering makes "any valid slot beyond gc" the exact
         # overflow predicate even for producers that don't sort (panoptic
@@ -650,8 +655,8 @@ def maskformer_loss(
         num_classes=num_classes, class_weight=class_weight,
         focal_weight=focal_weight, dice_weight=dice_weight,
         num_total_masks=num_total, loss_at=loss_at,
-        point_cfg=((num_points, oversample_ratio, importance_sample_ratio)
-                   if num_points else None))
+        point_cfg=((num_points, oversample_ratio, importance_sample_ratio,
+                    points_dtype) if num_points else None))
 
     # One scan over decoder layers: the loss body is traced and compiled
     # ONCE instead of L times.  The body is rematerialized: without

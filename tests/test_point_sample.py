@@ -173,7 +173,7 @@ def test_point_focal_converges_to_exact_with_uniform_points():
     exact = _layer_loss(cls_scores, mask_preds, matched_q, gt,
                         None, slot_ds, loss_at="gt", **kw)
     pts = _layer_loss(cls_scores, mask_preds, matched_q, gt,
-                      None, slot_ds, point_cfg=(16384, 1.0, 0.0),
+                      None, slot_ds, point_cfg=(16384, 1.0, 0.0, jnp.float32),
                       rng=jax.random.PRNGKey(0), **kw)
     assert float(pts["loss_cls"]) == float(exact["loss_cls"])
     np.testing.assert_allclose(float(pts["loss_mask"]),
@@ -232,3 +232,14 @@ def test_point_sample_chunked_matches_unchunked_and_grads():
     (out.squeeze(3).squeeze(1) ** 2).sum().backward()
     np.testing.assert_allclose(np.asarray(g_full), mt.grad.numpy(),
                                atol=1e-4)
+
+
+def test_point_sample_bf16_close_to_f32():
+    """The loss_points_dtype knob: bf16 selector contractions track the
+    f32 (mmcv-exact) sampler to lerp-weight rounding (~0.4%)."""
+    rng = np.random.default_rng(5)
+    masks = jnp.asarray(rng.standard_normal((2, 3, 16, 16)), jnp.float32)
+    coords = jnp.asarray(rng.uniform(size=(2, 3, 64, 2)), jnp.float32)
+    f32 = np.asarray(point_sample(masks, coords))
+    b16 = np.asarray(point_sample(masks, coords, dtype=jnp.bfloat16))
+    np.testing.assert_allclose(b16, f32, rtol=0.02, atol=0.02)

@@ -95,6 +95,7 @@ def main():
             num_points=cfg.train.loss_points,
             oversample_ratio=cfg.train.loss_points_oversample,
             importance_sample_ratio=cfg.train.loss_points_importance,
+            points_dtype=cfg.train.loss_points_dtype,
             seed=cfg.train.seed,
             unroll_loss=cfg.train.unroll_loss))
 
@@ -131,6 +132,7 @@ def main():
                     num_points=cfg.train.loss_points,
                     oversample_ratio=cfg.train.loss_points_oversample,
                     importance_sample_ratio=cfg.train.loss_points_importance,
+            points_dtype=cfg.train.loss_points_dtype,
                     seed=cfg.train.seed,
             unroll_loss=cfg.train.unroll_loss))
                 costs = cost_analysis(

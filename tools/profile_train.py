@@ -112,7 +112,8 @@ def main():
         matcher=tr.matcher, loss_at=tr.loss_at, compact_gt=tr.compact_gt,
         num_points=tr.loss_points,
         oversample_ratio=tr.loss_points_oversample,
-        importance_sample_ratio=tr.loss_points_importance, seed=tr.seed,
+        importance_sample_ratio=tr.loss_points_importance,
+        points_dtype=tr.loss_points_dtype, seed=tr.seed,
         unroll_loss=tr.unroll_loss))
     t_full = timeit(lambda s: step(s, x, sem)[1]["total"], state)
     print(f"full train step:          {t_full:8.1f} ms")

@@ -211,6 +211,7 @@ def main():
             num_points=cfg.train.loss_points,
             oversample_ratio=cfg.train.loss_points_oversample,
             importance_sample_ratio=cfg.train.loss_points_importance,
+            points_dtype=cfg.train.loss_points_dtype,
             seed=cfg.train.seed,
             unroll_loss=cfg.train.unroll_loss),
             donate_argnums=0)
@@ -223,6 +224,7 @@ def main():
             num_points=cfg.train.loss_points,
             oversample_ratio=cfg.train.loss_points_oversample,
             importance_sample_ratio=cfg.train.loss_points_importance,
+            points_dtype=cfg.train.loss_points_dtype,
             seed=cfg.train.seed,
             unroll_loss=cfg.train.unroll_loss),
             donate_argnums=0)
