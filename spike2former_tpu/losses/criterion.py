@@ -631,8 +631,12 @@ def maskformer_loss(
             cls_l, mask_l = cm
             if lazy:
                 # flat [B, nq, hw]: the cost terms reshape to a flat pixel
-                # axis anyway, so never materialize the [B, nq, h, w] form
-                mask_l = all_mask_preds.layer_flat(mask_l)
+                # axis anyway, so never materialize the [B, nq, h, w] form.
+                # bf16 models hand the cost terms bf16 logits (the dtype
+                # the cost machinery keys its contractions on — costs only
+                # rank and the cost streams are the scan's bandwidth).
+                mask_l = all_mask_preds.layer_flat(mask_l).astype(
+                    all_mask_preds.feats.dtype)
             c = cost_fn(cls_l, mask_l, gt.labels, gt_cost, gt.valid)
             return None, jax.lax.stop_gradient(c)
 

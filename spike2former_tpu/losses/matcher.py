@@ -52,7 +52,12 @@ def _mask_cost_terms(mask_pred: jax.Array, alpha: float = 0.25,
     there, clamped at the same floor.  gamma == 2 uses a multiply, not pow.
     """
     nq = mask_pred.shape[0]
-    x = mask_pred.astype(jnp.float32).reshape(nq, -1)
+    # elementwise streams run in the prediction dtype (bf16 under the
+    # flagship recipe — halves the [nq, hw] f32 traffic; costs only rank
+    # and every downstream reduction accumulates in f32)
+    x = mask_pred.reshape(nq, -1)
+    if x.dtype not in (jnp.float32, jnp.bfloat16):
+        x = x.astype(jnp.float32)
     e = jnp.exp(-jnp.abs(x))
     l1p = jnp.log1p(e)
     p = jnp.where(x >= 0, 1.0 / (1.0 + e), e / (1.0 + e))
@@ -119,7 +124,7 @@ def match_costs(cls_logits, mask_pred, gt_labels, gt_masks, gt_valid,
              + jnp.dot(neg.astype(ct), (1 - g).T,
                        preferred_element_type=jnp.float32)) / n
     num = 2 * jnp.dot(p.astype(ct), g.T, preferred_element_type=jnp.float32)
-    den = (jnp.sum(p, 1)[:, None]
+    den = (jnp.sum(p, 1, dtype=jnp.float32)[:, None]
            + jnp.sum(g, 1, dtype=jnp.float32)[None, :])
     dice = 1.0 - (num + 1.0) / (den + 1.0)
     cost = (cls_weight * classification_cost(cls_logits, gt_labels)
